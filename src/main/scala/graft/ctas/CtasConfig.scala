@@ -1,0 +1,44 @@
+package graft.ctas
+
+import org.apache.spark.sql.DataFrame
+
+/** Configuration mirroring process_a_study's parameters (R/ctas.R:29-34).
+  *
+  * @param autogenerate "consecutive" | "adaptive" | "off" (R's
+  *   autogenerate_timeseries TRUE maps to "consecutive", FALSE to "off" —
+  *   R/ctas.R:37-42)
+  */
+final case class CtasConfig(
+    defaultFeatures: String =
+      "autocorr;average;own_site_simil_score;sd;unique_value_count_relative;range;lof",
+    defaultMinTimepoints: Double = 3,
+    defaultMinSubjects: Double = 3,
+    defaultMaxShareMissing: Double = 0.5,
+    defaultGenerateCfb: Boolean = false,
+    autogenerate: String = "consecutive",
+    optimizeSitesAndPatients: Boolean = false,
+    siteScoringMethod: String = "ks",
+    padjustMethod: String = "fdr")
+
+/** The five input tables (schemas per R/ctas.R:1054-1086; FIXTURES.md §A). */
+final case class CtasInput(
+    subjects: DataFrame,
+    parameters: DataFrame,
+    data: DataFrame,
+    customTimeseries: DataFrame,
+    customReferenceGroups: DataFrame)
+
+/** The four output tables (R/ctas.R:284-285). A None result reproduces the
+  * reference's all-NULL short-circuits (R/ctas.R:76-81, 143-148).
+  */
+final case class CtasOutputs(
+    timeseries: DataFrame,
+    timeseriesFeatures: DataFrame,
+    pcaCoordinates: DataFrame,
+    siteScores: DataFrame)
+
+object CtasSchema {
+  val allowedFeatures: Set[String] = Set(
+    "autocorr", "average", "own_site_simil_score", "sd",
+    "unique_value_count_relative", "range", "lof")
+}

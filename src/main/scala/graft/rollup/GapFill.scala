@@ -1,0 +1,64 @@
+package graft.rollup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-fill before rollup (north_rule): densify each series to a complete
+  * bucket grid, then LOCF or linear interpolation — all window
+  * expressions, no UDFs (SURVEY.md §2.2 frame specs row).
+  */
+object GapFill {
+
+  /** Expand each series to one row per bucket in [min, max] (step 1),
+    * null value where no observation exists. seriesCols key the series;
+    * bucketCol must be integral (e.g. an hour rank).
+    */
+  def densify(df: DataFrame, seriesCols: Seq[String], bucketCol: String,
+      valueCol: String): DataFrame = {
+    val grid = df
+      .groupBy(seriesCols.map(col): _*)
+      .agg(min(col(bucketCol)).as("__min_b"), max(col(bucketCol)).as("__max_b"))
+      .select(seriesCols.map(col) :+
+        explode(sequence(col("__min_b"), col("__max_b"))).as(bucketCol): _*)
+    grid.join(df, seriesCols :+ bucketCol, "left")
+  }
+
+  /** Last-observation-carried-forward over each series. */
+  def locf(df: DataFrame, seriesCols: Seq[String], bucketCol: String,
+      valueCol: String, outCol: String = "value_filled"): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Linear interpolation between the nearest non-null neighbours;
+    * endpoints fall back to LOCF / NOCB.
+    */
+  def linear(df: DataFrame, seriesCols: Seq[String], bucketCol: String,
+      valueCol: String, outCol: String = "value_filled"): DataFrame = {
+    val part = Window.partitionBy(seriesCols.map(col): _*)
+    val wPrev = part.orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = part.orderBy(col(bucketCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val obsBucket = when(col(valueCol).isNotNull, col(bucketCol))
+    val prevV = last(col(valueCol), ignoreNulls = true).over(wPrev)
+    val prevB = last(obsBucket, ignoreNulls = true).over(wPrev)
+    val nextV = first(col(valueCol), ignoreNulls = true).over(wNext)
+    val nextB = first(obsBucket, ignoreNulls = true).over(wNext)
+
+    df
+      .withColumn("__pv", prevV).withColumn("__pb", prevB)
+      .withColumn("__nv", nextV).withColumn("__nb", nextB)
+      .withColumn(outCol,
+        when(col(valueCol).isNotNull, col(valueCol))
+          .when(col("__pv").isNotNull && col("__nv").isNotNull,
+            col("__pv") + (col("__nv") - col("__pv")) *
+              (col(bucketCol) - col("__pb")) / (col("__nb") - col("__pb")))
+          .when(col("__pv").isNotNull, col("__pv"))
+          .otherwise(col("__nv")))
+      .drop("__pv", "__pb", "__nv", "__nb")
+  }
+}
