@@ -12,7 +12,11 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    graft.queries.RelationalQueries.all
+    graft.queries.RelationalQueries.all ++
+      graft.queries.CtasQueries.all ++
+      graft.queries.RollupQueries.all ++
+      graft.queries.TextQueries.all ++
+      graft.queries.DedupAnnQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

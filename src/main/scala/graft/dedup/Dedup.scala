@@ -1,0 +1,168 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora. All candidate
+  * generation is bucketed (exact-key or LSH-band groupBy) so no stage is
+  * O(n²) over the corpus — pairwise verification only runs inside
+  * buckets. Each stage is expression-only and shuffles once on its
+  * bucket key.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** exact duplicates by normalized-text fingerprint: returns
+    * (fingerprint, n_copies, doc_ids) for groups with > 1 member.
+    */
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("fp", TextOps.fingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"), sort_array(collect_list(col(idCol))).as("doc_ids"))
+      .filter(col("n_copies") > 1)
+
+  // ------------------------------------------------------ shingles
+
+  /** distinct word n-gram shingles per document (as strings) */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val words = split(trim(text), "\\s+")
+    val nWin = greatest(lit(1), size(words) - lit(n - 1))
+    array_distinct(transform(sequence(lit(0), nWin - 1),
+      i => array_join(slice(words, i + 1, lit(n)), " ")))
+  }
+
+  // ------------------------------------------------------------ minhash
+
+  /** k minhash values over word shingles: minhash_j = min over shingles
+    * of xxhash64(shingle, j). Returns array<long> of length k.
+    */
+  def minhashSignature(text: Column, k: Int = 32, shingleN: Int = 3): Column = {
+    val shingles = wordShingles(text, shingleN)
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingles, s => xxhash64(s, j))))
+  }
+
+  /** LSH band table: one row per (doc, band) with the band's hash.
+    * bands * rowsPerBand must equal the signature length.
+    */
+  def lshBands(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
+    val bandHashes = transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",",
+        slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+    docs
+      .withColumn("sig", minhashSignature(col(textCol), bands * rowsPerBand, shingleN))
+      .select(col(idCol).as("doc_id"),
+        posexplode(bandHashes).as(Seq("band", "band_hash")))
+  }
+
+  /** candidate near-duplicate pairs: documents sharing any LSH band
+    * bucket (id1 < id2, distinct).
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
+    val b = lshBands(docs, idCol, textCol, bands, rowsPerBand, shingleN)
+    val l = b.select(col("band"), col("band_hash"), col("doc_id").as("id1"))
+    val r = b.select(col("band"), col("band_hash"), col("doc_id").as("id2"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** exact word-shingle Jaccard for a pair table (verification stage) */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"), wordShingles(col(textCol), shingleN).as("__sh"))
+    pairs
+      .join(sh.select(col("__id").as("id1"), col("__sh").as("sh1")), Seq("id1"))
+      .join(sh.select(col("__id").as("id2"), col("__sh").as("sh2")), Seq("id2"))
+      .withColumn("jaccard",
+        try_divide(size(array_intersect(col("sh1"), col("sh2"))).cast("double"),
+          size(array_union(col("sh1"), col("sh2"))).cast("double")))
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** near-duplicate pairs: LSH candidates verified at a Jaccard threshold */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, bands: Int = 8, rowsPerBand: Int = 4,
+      shingleN: Int = 3): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol, bands, rowsPerBand, shingleN)
+    jaccardVerify(cand, docs, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------ simhash
+
+  /** 64-bit SimHash over word shingles, expression-only: for each bit,
+    * sign of the sum of per-shingle ±1 contributions. The 64 bit sums
+    * are one aggregate expression each over the shingle array (static
+    * bit positions keep shiftright codegen-friendly).
+    */
+  def simhash64(text: Column, shingleN: Int = 2): Column = {
+    val hashes = transform(wordShingles(text, shingleN), s => xxhash64(s))
+    val bits: Seq[Column] = (0 until 64).map { bit =>
+      val bal = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(bal >= 0, lit(1L << bit)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two simhash values */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** simhash near-duplicate candidates: bucket on rotated 16-bit blocks
+    * (4 tables) so any pair within Hamming distance <= 3 of each other
+    * shares at least one identical block w.h.p.; verify with bit_count.
+    */
+  def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, shingleN: Int = 2): DataFrame = {
+    val withSim = docs.select(col(idCol).as("doc_id"),
+      simhash64(col(textCol), shingleN).as("sim"))
+    val blocks = withSim.select(col("doc_id"), col("sim"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sim"), b * 16).bitwiseAND(0xffffL)): _*)).as(Seq("block", "block_val")))
+    val l = blocks.select(col("block"), col("block_val"),
+      col("doc_id").as("id1"), col("sim").as("sim1"))
+    val r = blocks.select(col("block"), col("block_val"),
+      col("doc_id").as("id2"), col("sim").as("sim2"))
+    l.join(r, Seq("block", "block_val"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("hamming", hamming64(col("sim1"), col("sim2")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming").distinct()
+  }
+
+  // ------------------------------------------------- embedding cosine
+
+  /** cosine similarity of two array<double> columns, expression-only */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
+    try_divide(dot, na * nb)
+  }
+
+  /** embedding near-duplicates above a cosine threshold, bucketed by
+    * random-hyperplane LSH signatures (see Ann.hyperplaneSignature) to
+    * avoid the full cross-join; exact cosine verification inside buckets.
+    */
+  def embeddingNearDuplicates(embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 12, dim: Int = 64): DataFrame = {
+    val sig = graft.ann.Ann.hyperplaneSignature(col(vecCol), planes, dim)
+    val withSig = embs.select(col(idCol).as("doc_id"),
+      col(vecCol).cast("array<double>").as("vec"), sig.as("sig"))
+    val l = withSig.select(col("sig"), col("doc_id").as("id1"), col("vec").as("v1"))
+    val r = withSig.select(col("sig"), col("doc_id").as("id2"), col("vec").as("v2"))
+    l.join(r, Seq("sig"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", cosine(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine").distinct()
+  }
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.Q
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.util.T
+import org.apache.spark.sql.functions._
+
+/** Deduplication and similarity-search operators over documents /
+  * embeddings. Exact-key and cosine-top-k paths have DuckDB oracles;
+  * MinHash/SimHash LSH stages are engine-specific (rows-only here,
+  * planted-duplicate assertions in DedupSpec).
+  */
+object DedupAnnQueries {
+
+  private def embs(s: org.apache.spark.sql.SparkSession, d: String) =
+    T.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+
+  val all: Seq[Q] = Seq(
+    Q(
+      // exact dedup accounting by normalized fingerprint
+      "q_dedup_exact_stats",
+      (s, d) =>
+        T.documents(s, d)
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(graft.text.TextOps.fingerprint(col("text"))).as("n_unique"),
+            (count(lit(1)) - countDistinct(graft.text.TextOps.fingerprint(col("text"))))
+              .as("n_dup_rows")),
+      Some("""SELECT count(*) AS n_docs,
+             |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+             |    AS n_unique,
+             |  count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+             |    AS n_dup_rows
+             |FROM documents""".stripMargin)
+    ),
+    Q(
+      // MinHash LSH near-dup candidate pairs (engine-specific hashes —
+      // rows-only; planted-duplicate recall asserted in DedupSpec)
+      "q_dedup_minhash_lsh",
+      (s, d) => Dedup.nearDuplicates(T.documents(s, d), "doc_id", "text", 0.5),
+      None
+    ),
+    Q(
+      // SimHash signatures + near-dup pairs (rows-only, see DedupSpec)
+      "q_dedup_simhash",
+      (s, d) => Dedup.simhashNearDuplicates(T.documents(s, d), "doc_id", "text", 10),
+      None
+    ),
+    Q(
+      // brute-force cosine top-3 neighbors for 10 query vectors —
+      // exact oracle via DuckDB list_cosine_similarity (double-cast)
+      "q_ann_bruteforce_topk",
+      (s, d) => {
+        val c = embs(s, d)
+        val q = c.filter(col("id") < 10)
+        Ann.bruteForceTopK(q, c, 3)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+             |          FROM embeddings)
+             |SELECT query_id, neighbor_id, cosine, rank FROM (
+             |  SELECT q.id AS query_id, c.id AS neighbor_id,
+             |    round(list_cosine_similarity(q.vec, c.vec), 6) AS cosine,
+             |    row_number() OVER (PARTITION BY q.id
+             |      ORDER BY list_cosine_similarity(q.vec, c.vec) DESC, c.id)
+             |      AS rank
+             |  FROM e q CROSS JOIN e c
+             |  WHERE q.id < 10 AND q.id != c.id)
+             |WHERE rank <= 3""".stripMargin)
+    ),
+    Q(
+      // LSH-bucketed ANN (the scale path; recall measured in AnnSpec)
+      "q_ann_lsh_topk",
+      (s, d) => {
+        val c = embs(s, d)
+        Ann.lshTopK(c.filter(col("id") < 10), c, 3, planes = 6)
+      },
+      None
+    ),
+    Q(
+      // embedding norms / label profile — oracle via list_dot_product
+      "q_embedding_norms",
+      (s, d) =>
+        embs(s, d)
+          .join(T.embeddings(s, d).select(col("vec_id").as("id"), col("label")), Seq("id"))
+          .withColumn("norm",
+            sqrt(aggregate(col("vec"), lit(0.0), (acc, v) => acc + v * v)))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), round(avg(col("norm")), 6).as("avg_norm")),
+      Some("""SELECT label, count(*) AS n,
+             |  round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+             |                                  CAST(embedding AS DOUBLE[])))), 6)
+             |    AS avg_norm
+             |FROM embeddings GROUP BY 1""".stripMargin)
+    )
+  )
+}

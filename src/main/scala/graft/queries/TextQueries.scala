@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.Q
+import graft.text.TextOps
+import graft.util.T
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table, driver-verified
+  * where the semantics are expressible in DuckDB SQL (token counting,
+  * fingerprints, quality arithmetic); the regex-heuristic language-ID is
+  * a rows-only check plus ScalaTest (regex dialects differ between
+  * engines).
+  */
+object TextQueries {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q_text_tokens",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+            col("n_chars")),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+             |  n_chars
+             |FROM documents""".stripMargin)
+    ),
+    Q(
+      "q_text_fingerprint_dups",
+      (s, d) =>
+        T.documents(s, d)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(TextOps.fingerprint(col("text"))).as("n_distinct_fp")),
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+             |    AS n_distinct_fp
+             |FROM documents GROUP BY 1""".stripMargin)
+    ),
+    Q(
+      "q_text_quality",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"),
+            TextOps.qualityScore(col("text")).as("quality"))
+          .filter(col("quality") > 0.5),
+      Some("""SELECT doc_id, quality FROM (
+             |  SELECT doc_id,
+             |    round(
+             |      coalesce(len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+             |        * 1.0 / nullif(len(text), 0), 0) * 0.4
+             |      + least(1.0, len(text) / 500.0) * 0.4
+             |      + (CASE WHEN (len(text) - (len(text) - len(replace(text, ' ', ''))))
+             |                * 1.0 / nullif(len(regexp_split_to_array(trim(text), '\s+')), 0)
+             |                BETWEEN 3.0 AND 10.0
+             |              THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+             |  FROM documents)
+             |WHERE quality > 0.5""".stripMargin)
+    ),
+    Q(
+      // heuristic language-ID: rows-only (regex dialect differs across
+      // engines); asserted in TextOpsSpec instead
+      "q_text_langid",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"), TextOps.langId(col("text")).as("lang_guess"))
+          .groupBy(col("lang_guess")).agg(count(lit(1)).as("n")),
+      None
+    ),
+    Q(
+      // per-source token statistics (document-level corpus profiling)
+      "q_text_source_stats",
+      (s, d) =>
+        T.documents(s, d)
+          .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("bigint").as("total_tokens"),
+            avg(col("n_chars")).as("avg_chars"),
+            expr("percentile(n_chars, 0.5)").as("median_chars")),
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+             |    AS total_tokens,
+             |  avg(n_chars) AS avg_chars,
+             |  quantile_cont(n_chars, 0.5) AS median_chars
+             |FROM documents GROUP BY 1""".stripMargin)
+    )
+  )
+}

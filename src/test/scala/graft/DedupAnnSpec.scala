@@ -1,0 +1,199 @@
+package graft
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends GraftSuite {
+  import spark.implicits._
+
+  /** corpus with planted duplicates: 50 distinct docs; doc 0 repeated
+    * exactly; doc 1 near-duplicated (one word changed); doc 2 reordered
+    * tail (moderate similarity)
+    */
+  lazy val corpus = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc(id: Long) = {
+      val rng = new java.util.SplittableRandom(id)
+      (0 until 60).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    val base = (0L until 50L).map(i => (i, doc(i)))
+    val exact = Seq((100L, doc(0)))
+    val near = Seq((101L, doc(1).replaceFirst("alpha", "omega")))
+    val shuffled = {
+      val words = doc(2).split(" ")
+      Seq((102L, (words.take(40) ++ words.drop(40).reverse).mkString(" ")))
+    }
+    (base ++ exact ++ near ++ shuffled).toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds exactly the planted identical pair") {
+    val dups = Dedup.exactDuplicates(corpus, "doc_id", "text").collect()
+    assert(dups.length === 1)
+    assert(dups(0).getAs[Seq[Long]]("doc_ids") === Seq(0L, 100L))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.nearDuplicates(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)), s"exact dup missing from $pairs")
+    assert(pairs.contains((1L, 101L)), s"near dup missing from $pairs")
+    // jaccard values sane
+    val j = Dedup.jaccardVerify(
+      Seq((0L, 100L), (1L, 101L)).toDF("id1", "id2"), corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 100L)) === 1.0)
+    assert(j((1L, 101L)) > 0.8 && j((1L, 101L)) < 1.0)
+  }
+
+  test("simhash: identical docs 0 hamming, near-dups close, others far") {
+    val sims = corpus.select(col("doc_id"), Dedup.simhash64(col("text")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sims(a) ^ sims(b))
+    assert(ham(0L, 100L) === 0)
+    assert(ham(1L, 101L) < 16, s"near-dup hamming ${ham(1L, 101L)}")
+    val unrelated = ham(3L, 4L)
+    assert(unrelated > ham(1L, 101L), s"unrelated $unrelated should exceed near-dup")
+    val nd = Dedup.simhashNearDuplicates(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((0L, 100L)))
+  }
+
+  test("embedding near-duplicates via hyperplane buckets") {
+    val rng = new java.util.SplittableRandom(5)
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.fill(16)(rng.nextDouble() * 2 - 1))
+    }
+    // plant: vec 100 = vec 0 + tiny noise
+    val planted = (100L, base(0)._2.map(_ + 1e-4))
+    val df = (base :+ planted).toDF("id", "vec")
+    val nd = Dedup.embeddingNearDuplicates(df, "id", "vec",
+      threshold = 0.99, planes = 8, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((0L, 100L)), s"planted embedding dup missing: $nd")
+  }
+}
+
+class AnnSpec extends GraftSuite {
+  import spark.implicits._
+
+  lazy val vecs = {
+    val rng = new java.util.SplittableRandom(7)
+    (0 until 200).map(i => (i.toLong, Array.fill(16)(rng.nextDouble() * 2 - 1))).toDF("id", "vec")
+  }
+
+  test("brute-force top-k: planted nearest neighbor ranks first") {
+    val rng = new java.util.SplittableRandom(7)
+    val base = (0 until 200).map(i => (i.toLong, Array.fill(16)(rng.nextDouble() * 2 - 1)))
+    val q = Seq((999L, base(42)._2.map(_ * 1.001))).toDF("id", "vec")
+    val top = Ann.bruteForceTopK(q, base.toDF("id", "vec"), 3).collect()
+    assert(top.length === 3)
+    assert(top.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("neighbor_id") === 42L)
+    assert(top.find(_.getAs[Int]("rank") == 1).get.getAs[Double]("cosine") > 0.999)
+  }
+
+  test("LSH top-k recall against brute force is reasonable") {
+    val q = vecs.filter(col("id") < 20)
+    val exact = Ann.bruteForceTopK(q, vecs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(q, vecs, 3, planes = 4, dim = 16, tables = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.5, s"LSH recall $recall too low for 6 tables")
+    // every approx neighbor must share the query's bucket => subsetness
+    // is not required, but all results must be genuine corpus members
+    assert(approx.forall(_._2 < 200))
+  }
+
+  test("ivf cells partition the corpus deterministically") {
+    val assigned = Ann.ivfAssign(vecs, nCells = 8, dim = 16)
+    val cells = assigned.groupBy("cell").count().collect()
+    assert(cells.map(_.getLong(1)).sum === 200)
+    val again = Ann.ivfAssign(vecs, nCells = 8, dim = 16)
+    assert(assigned.select("id", "cell").exceptAll(again.select("id", "cell")).isEmpty)
+  }
+}
+
+class TextOpsSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("token counts") {
+    val df = Seq("one two three", "  padded  tokens  ", "", "single").toDF("text")
+      .select(TextOps.tokenCount(col("text")).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(3, 2, 0, 1))
+  }
+
+  test("language id picks the stopword-matching language") {
+    val df = Seq(
+      "the cat and the dog of the house with food",
+      "der hund und die katze ist von dem haus nicht weit",
+      "le chat et la maison dans les arbres est une belle",
+      "el gato es una casa por las calles con los perros",
+      "xyzzy qwerty asdf").toDF("text")
+      .select(TextOps.langId(col("text")).as("lang"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive but content-sensitive") {
+    val fp = Seq("Hello   World", "hello world", "hello worlds").toDF("text")
+      .select(TextOps.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fp(0) === fp(1))
+    assert(fp(0) !== fp(2))
+  }
+
+  test("window fingerprints overlap heavily for near-duplicates") {
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val rows = Seq(a, b).toDF("text")
+      .select(TextOps.windowFingerprints(col("text"), 8).as("fps"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    val overlap = (rows(0) intersect rows(1)).size.toDouble / rows(0).size
+    assert(overlap > 0.6, s"overlap $overlap")
+  }
+}
+
+class MultimodalSpec extends GraftSuite {
+
+  test("decode plumbing: schema, determinism, feature shape") {
+    val media = Multimodal.synthMedia(spark, 64, partitions = 4)
+    val decoded = Multimodal.decodeFeatures(media, batchSize = 16)
+    assert(decoded.columns.toSeq ===
+      Seq("media_id", "kind", "width", "height", "n_frames", "features"))
+    val rows = decoded.collect()
+    assert(rows.length === 64)
+    rows.foreach { r =>
+      val f = r.features
+      assert(f.length === 8)
+      assert(math.abs(f.sum - 1.0f) < 1e-3, "histogram features sum to 1")
+    }
+    // deterministic across partitionings
+    val again = Multimodal.decodeFeatures(
+      Multimodal.synthMedia(spark, 64, partitions = 8)).collect()
+    assert(rows.sortBy(_.media_id).map(_.features.toSeq).toSeq ===
+      again.sortBy(_.media_id).map(_.features.toSeq).toSeq)
+  }
+
+  test("resize caps the max side and keeps payload shape") {
+    val media = Multimodal.synthMedia(spark, 32, partitions = 2)
+    val resized = Multimodal.resize(media, maxSide = 20).collect()
+    resized.foreach { r =>
+      assert(math.max(r.width, r.height) <= 20 || r.bytes.length == r.width * r.height)
+      assert(r.bytes.length === r.width * r.height)
+    }
+  }
+
+  test("frame sampling explodes only videos at the stride") {
+    val media = Multimodal.synthMedia(spark, 60, partitions = 2)
+    val frames = Multimodal.sampleFrames(media.toDF(), stride = 4)
+    val counts = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val videos = media.collect().filter(_.kind == "video")
+    assert(counts.keySet === videos.map(_.media_id).toSet)
+    videos.foreach { v =>
+      assert(counts(v.media_id) === (v.n_frames + 3) / 4)
+    }
+  }
+}

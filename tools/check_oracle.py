@@ -20,17 +20,24 @@ con = duckdb.connect()
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+from decimal import Decimal
+
 def norm(rows):
+    # sort key: coarse string form (floats at 4dp) so both sides sort
+    # identically; exact comparison happens value-wise with tolerance
     out = []
     for row in rows:
         nr = []
         for v in row:
-            if isinstance(v, float):
-                nr.append(round(v, 6) if math.isfinite(v) else str(v))
-            else:
-                nr.append(str(v))
+            if isinstance(v, Decimal):
+                v = float(v)
+            nr.append(v)
         out.append(tuple(nr))
-    return sorted(out)
+    def key(row):
+        return tuple(
+            (f"{v:.4f}" if math.isfinite(v) else str(v)) if isinstance(v, float)
+            else str(v) for v in row)
+    return sorted(out, key=key)
 
 def close(a, b):
     if len(a) != len(b):
@@ -40,9 +47,11 @@ def close(a, b):
             return False
         for va, vb in zip(ra, rb):
             if isinstance(va, float) and isinstance(vb, float):
+                if math.isnan(va) and math.isnan(vb):
+                    continue
                 if not math.isclose(va, vb, rel_tol=1e-6, abs_tol=1e-6):
                     return False
-            elif va != vb:
+            elif str(va) != str(vb):
                 return False
     return True
 
@@ -65,8 +74,9 @@ for name, sql in sorted(oracle.items()):
         if len(a) != len(b):
             print(f"FAIL {name}: rowcount spark={len(a)} oracle={len(b)}")
             fails += 1
-        elif a != b:
-            bad = [(x, y) for x, y in zip(a, b) if x != y][:3]
+        elif not close(a, b):
+            bad = [(x, y) for x, y in zip(a, b)
+                   if not close([x], [y])][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {bad}")
             fails += 1
         else:
