@@ -1,14 +1,157 @@
 package graft.ctas
 
+import graft.stats.Stats
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** Mixed-effects site scoring (fit_mixed_effects_model, R/ctas.R:1215-1248).
-  * Scheduled last per SURVEY.md §7.4.3 — implemented in a later milestone
-  * as an executor-local variance-components EM + seeded random-effect
-  * simulation inside mapGroups.
+/** Mixed-effects site scoring (fit_mixed_effects_model,
+  * R/ctas.R:1215-1248 + the caller's tail R/ctas.R:229-241).
+  *
+  * The reference fits lmer nested random intercepts
+  * (value ~ (1|region/country/site), degrading with the distinct counts)
+  * and Monte-Carlo-simulates the random effects (REsim, n.sims=500,
+  * unseeded). No closed-form parity is possible (the reference itself is
+  * not reproducible here — SURVEY.md §2.3.5); we fit the same nested
+  * random-intercept model with empirical-Bayes moment estimation per
+  * level (variance of level means minus expected sampling noise, BLUP
+  * shrinkage), then simulate effects from their posterior with a
+  * SEEDED deterministic RNG. Output shape and the z/p/FDR tail match
+  * the reference exactly.
+  *
+  * The reference has no branch for (1 country, >1 regions) and errors
+  * there (latent bug, SURVEY.md §2.1 row 14) — we reproduce the error.
   */
 object MixedEffects {
-  def score(spark: SparkSession, eligible: DataFrame, cfg: CtasConfig): DataFrame =
-    throw new UnsupportedOperationException(
-      "mixedeffects site scoring not yet implemented (see SURVEY.md §7.4.3)")
+
+  private[ctas] case class MeIn(
+      timeseries_id: String,
+      feature: String,
+      ref_group: String,
+      subject_id: String,
+      site: String,
+      country: String,
+      region: String,
+      value: Double)
+
+  private[ctas] case class MeOut(
+      timeseries_id: String,
+      feature: String,
+      entity: String,
+      mean: Double,
+      median: Double,
+      sd: Double)
+
+  private val nSims = 500
+
+  def score(spark: SparkSession, eligible: DataFrame, cfg: CtasConfig): DataFrame = {
+    import spark.implicits._
+
+    val rows = eligible
+      .select(col("timeseries_id"), col("feature"), col("ref_group"),
+        col("subject_id"), col("site"), col("country"), col("region"),
+        col("feature_value").as("value"))
+      .as[MeIn]
+
+    val simmed = rows
+      .groupByKey(r => (r.timeseries_id, r.feature, r.ref_group))
+      .flatMapGroups { (key: (String, String, String), it: Iterator[MeIn]) =>
+        kernel(key._1, key._2, it.toArray)
+      }
+      .toDF()
+
+    val pnormUdf = udf((z: Double) => Stats.pnorm(z))
+    val withP = simmed
+      .withColumn("z_score", abs(try_divide(col("median"), col("sd"))))
+      .withColumn("p_value",
+        when(col("z_score").isNull, lit(1.0))
+          .otherwise(lit(1.0) - pnormUdf(col("z_score"))))
+    val adj = SiteScoring.padjust(withP, "p_value", "fdr_adjusted_pvalue", cfg.padjustMethod)
+    adj
+      .withColumn("fdr_corrected_pvalue_logp",
+        when(col("fdr_adjusted_pvalue") <= 0, lit(Double.PositiveInfinity))
+          .otherwise(-log10(col("fdr_adjusted_pvalue"))))
+      .select(col("timeseries_id"), col("feature"), col("entity"),
+        col("mean"), col("median"), col("sd"),
+        col("p_value"), col("fdr_corrected_pvalue_logp"))
+  }
+
+  /** one (series, feature, ref_group) group: nested random-intercept fit
+    * + seeded posterior simulation; emits one row per entity at every
+    * active level (site always; country/region as in the reference's
+    * degradation ladder).
+    */
+  private def kernel(ts: String, feature: String,
+      rowsIn: Array[MeIn]): Iterator[MeOut] = {
+    val rows = rowsIn.sortBy(_.subject_id)
+    val nCountry = rows.map(_.country).distinct.length
+    val nRegion = rows.map(_.region).distinct.length
+
+    val levels: Seq[MeIn => String] =
+      if (nCountry > 1 && nRegion > 1) Seq(_.region, _.country, _.site)
+      else if (nCountry > 1 && nRegion == 1) Seq(_.country, _.site)
+      else if (nCountry == 1 && nRegion == 1) Seq(_.site)
+      else
+        // reference bug reproduced: lmer branch missing for this shape
+        throw new IllegalStateException(
+          "mixed-effects model undefined for 1 country with >1 regions " +
+            "(reference has no branch, R/ctas.R:1223-1235)")
+
+    val mu = rows.map(_.value).sum / rows.length
+    var residual = rows.map(r => r.value - mu)
+
+    // within-group (error) variance estimate from the finest level
+    def variance(xs: Seq[Double]): Double = {
+      if (xs.length < 2) return 0.0
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+    }
+    val bySite = rows.indices.groupBy(i => rows(i).site)
+    val sigmaE2 = {
+      val pooled = bySite.values.filter(_.length > 1).toSeq
+      if (pooled.isEmpty) variance(residual.toSeq)
+      else {
+        val ssw = pooled.map(idx => variance(idx.map(residual)) * (idx.length - 1)).sum
+        val dfw = pooled.map(_.length - 1).sum
+        if (dfw > 0) ssw / dfw else variance(residual.toSeq)
+      }
+    }
+
+    val out = collection.mutable.ArrayBuffer.empty[MeOut]
+
+    levels.foreach { levelOf =>
+      val groups = rows.indices.groupBy(i => levelOf(rows(i)))
+      val means = groups.map { case (g, idx) => g -> idx.map(residual).sum / idx.length }
+      val sampleNoise = groups.map { case (g, idx) =>
+        g -> (if (sigmaE2 > 0) sigmaE2 / idx.length else 0.0)
+      }
+      // level variance: var of group means minus mean sampling noise
+      val levelVar = math.max(0.0,
+        variance(means.values.toSeq) - sampleNoise.values.sum / sampleNoise.size)
+      groups.foreach { case (g, idx) =>
+        val noise = sampleNoise(g)
+        val shrink = if (levelVar + noise > 0) levelVar / (levelVar + noise) else 0.0
+        val blup = shrink * means(g)
+        val postSd = math.sqrt(math.max(1e-12, shrink * noise))
+        // seeded posterior simulation (REsim analogue, deterministic)
+        val seed = Stats.hash64(s"$ts|$feature|$g|mixedeffects")
+        val rng = new java.util.SplittableRandom(seed)
+        val sims = Array.fill(nSims)(blup + postSd * gaussian(rng))
+        java.util.Arrays.sort(sims)
+        val simMean = sims.sum / nSims
+        val median = (sims(nSims / 2 - 1) + sims(nSims / 2)) / 2.0
+        val sd = math.sqrt(sims.map(x => (x - simMean) * (x - simMean)).sum / (nSims - 1))
+        out += MeOut(ts, feature, g, simMean, median, sd)
+        // subtract fitted effect before the next (finer) level
+        idx.foreach(i => residual = residual.updated(i, residual(i) - blup))
+      }
+    }
+    out.iterator
+  }
+
+  private def gaussian(rng: java.util.SplittableRandom): Double = {
+    val u1 = math.max(rng.nextDouble(), 1e-300)
+    val u2 = rng.nextDouble()
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+  }
 }

@@ -36,14 +36,11 @@ object Dedup {
 
   // ------------------------------------------------------------ minhash
 
-  /** k minhash values over word shingles: minhash_j = min over shingles
-    * of xxhash64(shingle, j). Returns array<long> of length k.
+  /** k minhash values over word shingles via the one-pass native
+    * expression (graft.functions.MinHashSig). Returns array<long>.
     */
-  def minhashSignature(text: Column, k: Int = 32, shingleN: Int = 3): Column = {
-    val shingles = wordShingles(text, shingleN)
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingles, s => xxhash64(s, j))))
-  }
+  def minhashSignature(text: Column, k: Int = 32, shingleN: Int = 3): Column =
+    graft.functions.MinHashSig(wordShingles(text, shingleN), k)
 
   /** LSH band table: one row per (doc, band) with the band's hash.
     * bands * rowsPerBand must equal the signature length.
@@ -97,20 +94,12 @@ object Dedup {
 
   // ------------------------------------------------------------ simhash
 
-  /** 64-bit SimHash over word shingles, expression-only: for each bit,
-    * sign of the sum of per-shingle ±1 contributions. The 64 bit sums
-    * are one aggregate expression each over the shingle array (static
-    * bit positions keep shiftright codegen-friendly).
+  /** 64-bit SimHash over word shingles via the native Catalyst
+    * expression (graft.functions.SimHash64): one pass per row inside
+    * whole-stage codegen.
     */
-  def simhash64(text: Column, shingleN: Int = 2): Column = {
-    val hashes = transform(wordShingles(text, shingleN), s => xxhash64(s))
-    val bits: Seq[Column] = (0 until 64).map { bit =>
-      val bal = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(bal >= 0, lit(1L << bit)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhash64(text: Column, shingleN: Int = 2): Column =
+    graft.functions.SimHash64(wordShingles(text, shingleN))
 
   /** Hamming distance between two simhash values */
   def hamming64(a: Column, b: Column): Column =

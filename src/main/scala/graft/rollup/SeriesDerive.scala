@@ -56,6 +56,17 @@ object SeriesDerive {
         col("timepoint_rank").as("hour_rank"),
         col("result").as("value"))
 
+  /** Full derivation from the raw crawl shape: text comes from the html
+    * BINARY via the byte-exact extractor (the production path — the
+    * `text` column is the generator's oracle, not an input). Runs the
+    * extraction inside the scan projection so the html column feeds
+    * whole-stage codegen once and is never shuffled.
+    */
+  def hostSeriesFromHtml(pages: DataFrame): DataFrame =
+    hostSeries(pages
+      .select(col("url"), col("warc_ts"), col("lang"),
+        TextExtract.extract(col("html")).as("text")))
+
   /** ctas `data` fact table: one row per (metric, host shard, hour bucket). */
   def series(pages: DataFrame): DataFrame = seriesFrom(pages, shardCol)
 
