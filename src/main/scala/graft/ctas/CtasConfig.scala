@@ -18,7 +18,14 @@ final case class CtasConfig(
     autogenerate: String = "consecutive",
     optimizeSitesAndPatients: Boolean = false,
     siteScoringMethod: String = "ks",
-    padjustMethod: String = "fdr")
+    padjustMethod: String = "fdr",
+    /** Hard cap on subjects entering one series' matrix kernels
+      * (LOF/own-site/PCA build an m×m distance matrix on ONE task).
+      * Above the cap, subjects are deterministically hash-sampled —
+      * a documented divergence that never triggers at clinical scale
+      * but bounds task memory for hot crawl series (SURVEY.md §7.4.6).
+      */
+    maxKernelSubjectsPerSeries: Int = 10000)
 
 /** The five input tables (schemas per R/ctas.R:1054-1086; FIXTURES.md §A). */
 final case class CtasInput(

@@ -259,7 +259,16 @@ object CtasPipeline {
 
     // --------------------------------------------------- matrix kernels
     import spark.implicits._
+    val seriesSubjCount = cells.select(col("timeseries_id"), col("subject_id"))
+      .distinct()
+      .groupBy("timeseries_id").agg(count(lit(1)).as("__n_subj"))
     val kernelIn = cells
+      .join(broadcast(seriesSubjCount), Seq("timeseries_id"))
+      // hot-series cap: per-subject deterministic sampling so one task's
+      // m×m distance matrix stays bounded (see CtasConfig)
+      .filter(graft.rollup.Skew.sampleWithinCap(
+        concat(col("timeseries_id"), lit("|"), col("subject_id")),
+        col("__n_subj"), cfg.maxKernelSubjectsPerSeries))
       .join(broadcast(meta), Seq("timeseries_id"))
       .join(broadcast(subjects.select(col("subject_id"), col("site"))), Seq("subject_id"), "left")
       .select(

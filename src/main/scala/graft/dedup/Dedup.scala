@@ -26,13 +26,24 @@ object Dedup {
 
   // ------------------------------------------------------ shingles
 
-  /** distinct word n-gram shingles per document (as strings) */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val words = split(trim(text), "\\s+")
+  /** distinct word n-gram shingles from an already-split words column.
+    * IMPORTANT: pass a real attribute (a column produced by a prior
+    * projection), not an inline split(...) expression — an expression
+    * argument gets inlined into the transform lambda and re-evaluated
+    * once PER SHINGLE (O(words²) per row; observed 10x+ slowdowns).
+    */
+  def shinglesFromWords(words: Column, n: Int): Column = {
     val nWin = greatest(lit(1), size(words) - lit(n - 1))
     array_distinct(transform(sequence(lit(0), nWin - 1),
       i => array_join(slice(words, i + 1, lit(n)), " ")))
   }
+
+  /** distinct word n-gram shingles per document (convenience for small /
+    * cardinality-bounded inputs; hot paths should materialize the words
+    * array as a column and call shinglesFromWords — see note there)
+    */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    shinglesFromWords(split(trim(text), "\\s+"), n)
 
   // ------------------------------------------------------------ minhash
 
@@ -40,7 +51,7 @@ object Dedup {
     * expression (graft.functions.MinHashSig). Returns array<long>.
     */
   def minhashSignature(text: Column, k: Int = 32, shingleN: Int = 3): Column =
-    graft.functions.MinHashSig(wordShingles(text, shingleN), k)
+    graft.functions.MinHashSig(split(trim(text), "\\s+"), k, shingleN)
 
   /** LSH band table: one row per (doc, band) with the band's hash.
     * bands * rowsPerBand must equal the signature length.
@@ -99,7 +110,7 @@ object Dedup {
     * whole-stage codegen.
     */
   def simhash64(text: Column, shingleN: Int = 2): Column =
-    graft.functions.SimHash64(wordShingles(text, shingleN))
+    graft.functions.SimHash64(split(trim(text), "\\s+"), shingleN)
 
   /** Hamming distance between two simhash values */
   def hamming64(a: Column, b: Column): Column =

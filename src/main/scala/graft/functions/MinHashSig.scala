@@ -5,14 +5,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
-/** k-permutation MinHash signature over an array<string> of shingles as
-  * one native Catalyst expression: a single pass hashes each shingle
-  * once, then derives the k per-seed hashes with a cheap mix —
-  * replacing k separate transform+array_min passes over the array.
+/** k-permutation MinHash signature over word n-gram shingles as one
+  * native Catalyst expression: word hashes are combined per window (no
+  * shingle strings), each window hash remixed per seed, single pass —
+  * and the projection stays in whole-stage codegen (the child is a
+  * plain split()).
   */
-case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+case class MinHashSig(child: Expression, k: Int, shingleN: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -24,13 +24,15 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
           s"minhash requires array<string>, got $other")
     }
 
+  override def prettyName: String = "minhash_sig"
+
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(MinHashSig.compute(input.asInstanceOf[ArrayData], k))
+    new GenericArrayData(MinHashSig.compute(input.asInstanceOf[ArrayData], k, shingleN))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.MinHashSig.compute($c, $k))")
+        s"graft.functions.MinHashSig.compute($c, $k, $shingleN))")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -38,7 +40,7 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
 object MinHashSig {
 
-  /** per-seed remix of a base shingle hash (splitmix64 step seeded by j) */
+  /** per-seed remix of a base shingle hash (splitmix64 step) */
   private def remix(h0: Long, seed: Long): Long = {
     var z = h0 + seed * 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -46,26 +48,24 @@ object MinHashSig {
     z ^ (z >>> 31)
   }
 
-  def compute(arr: ArrayData, k: Int): Array[Long] = {
+  def compute(arr: ArrayData, k: Int, shingleN: Int): Array[Long] = {
+    val hs = SimHash64.windowHashes(arr, shingleN)
     val mins = Array.fill(k)(Long.MaxValue)
-    val n = arr.numElements()
     var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h0 = SimHash64.hashShingle(arr.getUTF8String(i))
-        var j = 0
-        while (j < k) {
-          val h = remix(h0, j + 1)
-          if (h < mins(j)) mins(j) = h
-          j += 1
-        }
+    while (i < hs.length) {
+      val h0 = hs(i)
+      var j = 0
+      while (j < k) {
+        val h = remix(h0, j + 1)
+        if (h < mins(j)) mins(j) = h
+        j += 1
       }
       i += 1
     }
     mins
   }
 
-  def apply(c: Column, k: Int): Column =
+  def apply(words: Column, k: Int, shingleN: Int): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      MinHashSig(org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), k))
+      MinHashSig(org.apache.spark.sql.graftbridge.ColumnBridge.expression(words), k, shingleN))
 }

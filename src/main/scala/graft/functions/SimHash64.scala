@@ -1,22 +1,20 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType, StringType, ArrayType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** 64-bit SimHash over an array<string> of shingles as a native Catalyst
-  * expression: one pass per row, a 64-slot bit-balance accumulator, sign
-  * bits packed into a long. Replaces the 64-nested-aggregate expression
-  * formulation (which fell out of codegen and was ~100x slower).
-  *
-  * doGenCode emits a direct call into the static kernel so the
-  * expression stays inside whole-stage codegen.
+/** 64-bit SimHash over word n-gram shingles as a native Catalyst
+  * expression. Takes the WORDS array (one split per row); shingle
+  * hashes are built by combining per-word hashes — no shingle strings
+  * are ever materialized, and because the child is a plain split()
+  * the whole projection stays inside whole-stage codegen (higher-order
+  * transform() lambdas would force interpreted eval).
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression, shingleN: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -27,11 +25,13 @@ case class SimHash64(child: Expression) extends UnaryExpression {
           s"simhash64 requires array<string>, got $other")
     }
 
+  override def prettyName: String = "simhash64"
+
   override def nullSafeEval(input: Any): Any =
-    SimHash64.compute(input.asInstanceOf[ArrayData])
+    SimHash64.compute(input.asInstanceOf[ArrayData], shingleN)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c, $shingleN)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -39,10 +39,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
 
-  /** FNV-1a 64-bit over UTF-8 bytes with an avalanche finisher —
-    * deterministic, allocation-free.
-    */
-  def hashShingle(s: UTF8String): Long = {
+  /** FNV-1a 64-bit over UTF-8 bytes with a splitmix64 avalanche. */
+  def hashShingle(s: UTF8String): Long = avalanche(fnv(s))
+
+  private def fnv(s: UTF8String): Long = {
     val bytes = s.getBytes
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -51,20 +51,52 @@ object SimHash64 {
       h *= 0x100000001b3L
       i += 1
     }
-    // splitmix64 avalanche for bit uniformity
-    h += 0x9e3779b97f4a7c15L
+    h
+  }
+
+  def avalanche(h0: Long): Long = {
+    var h = h0 + 0x9e3779b97f4a7c15L
     h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
     h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
     h ^ (h >>> 31)
   }
 
-  def compute(arr: ArrayData): Long = {
-    val n = arr.numElements()
+  /** per-window shingle hashes from word hashes (no string building);
+    * returns the count of windows written into `out`
+    */
+  private[functions] def windowHashes(arr: ArrayData, n: Int): Array[Long] = {
+    val m = arr.numElements()
+    val wordH = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      wordH(i) = if (arr.isNullAt(i)) 0L else fnv(arr.getUTF8String(i))
+      i += 1
+    }
+    val nWin = math.max(1, m - n + 1)
+    val out = new Array[Long](nWin)
+    i = 0
+    while (i < nWin) {
+      var c = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n && i + j < m) {
+        c = (c ^ wordH(i + j)) * 0x100000001b3L
+        j += 1
+      }
+      out(i) = avalanche(c)
+      i += 1
+    }
+    out
+  }
+
+  def compute(arr: ArrayData, shingleN: Int): Long = {
+    val hs = windowHashes(arr, shingleN)
+    // distinct shingles only (matching set-based SimHash semantics)
+    val seen = new java.util.HashSet[java.lang.Long](hs.length * 2)
     val balance = new Array[Int](64)
     var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = hashShingle(arr.getUTF8String(i))
+    while (i < hs.length) {
+      val h = hs(i)
+      if (seen.add(h)) {
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) balance(b) += 1 else balance(b) -= 1
@@ -82,8 +114,8 @@ object SimHash64 {
     out
   }
 
-  /** wrap as a Column (Spark 4 column-node bridge) */
-  def apply(c: Column): Column =
+  /** wrap as a Column over a WORDS array column */
+  def apply(words: Column, shingleN: Int): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      SimHash64(org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+      SimHash64(org.apache.spark.sql.graftbridge.ColumnBridge.expression(words), shingleN))
 }

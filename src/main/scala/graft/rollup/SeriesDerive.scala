@@ -67,6 +67,71 @@ object SeriesDerive {
       .select(col("url"), col("warc_ts"), col("lang"),
         TextExtract.extract(col("html")).as("text")))
 
+  /** Production derive: extraction from the html binary with the
+    * byte-identical check, plus the per-page text-analysis metrics
+    * (tokens, quality, language-ID, simhash fingerprint) aggregated into
+    * per-(host, hour) series — the full training-data derive stage.
+    * Emits series_id = metric|host rows for the tier engine.
+    */
+  private def avg_len_word(t: Column): Column =
+    try_divide(length(t).cast("double"), graft.text.TextOps.tokenCount(t))
+
+  def hostSeriesRich(pages: DataFrame): DataFrame = {
+    // Three-stage projection so each expensive intermediate (extracted
+    // text, the split words array) is computed ONCE per row and
+    // referenced as an attribute downstream — CollapseProject keeps
+    // multi-referenced non-cheap aliases in their own projection, and
+    // lambdas over a words ATTRIBUTE don't re-split per element.
+    val base = pages
+      .select(
+        regexp_extract(col("url"), "https://([^/]+)/", 1).as("host"),
+        ((unix_timestamp(col("warc_ts")) - CrawlSynth.startEpoch) / 3600L)
+          .cast("long").as("hour_rank"),
+        TextExtract.extract(col("html")).as("xtext"),
+        col("text"), col("lang"))
+      .select(col("host"), col("hour_rank"), col("xtext"), col("text"),
+        split(trim(col("xtext")), "\\s+").as("xwords"))
+      .select(col("host"), col("hour_rank"),
+        // byte-identical extraction invariant, validated inline
+        (col("xtext") === col("text")).cast("double").as("extract_ok"),
+        length(col("xtext")).cast("double").as("text_len"),
+        when(length(trim(col("xtext"))) === 0, 0.0)
+          .otherwise(size(col("xwords")).cast("double")).as("n_tokens"),
+        // quality from the materialized words array (one regex pass)
+        (coalesce(try_divide(
+          length(regexp_replace(col("xtext"), "[^a-zA-Z]", "")).cast("double"),
+          length(col("xtext")).cast("double")), lit(0.0)) * 0.4 +
+          least(lit(1.0), length(col("xtext")) / lit(500.0)) * 0.4 +
+          when(try_divide(length(col("xtext")).cast("double"),
+            size(col("xwords")).cast("double")).between(3.0, 10.0), 1.0)
+            .otherwise(0.5) * 0.2).as("quality"),
+        try_divide(length(col("xtext")).cast("double"),
+          size(col("xwords")).cast("double")).as("lang_match"),
+        (pmod(graft.functions.SimHash64(col("xwords"), 2),
+          lit(1024)) / 1024.0).as("fp_bucket"))
+    val perBucket = base
+      .groupBy(col("host"), col("hour_rank"))
+      .agg(
+        count(lit(1)).cast("double").as("pages_per_hour"),
+        avg(col("text_len")).as("text_length"),
+        avg(col("n_tokens")).as("tokens"),
+        avg(col("quality")).as("quality"),
+        avg(col("lang_match")).as("lang_match"),
+        avg(col("extract_ok")).as("extract_ok"),
+        avg(col("fp_bucket")).as("fp_spread"))
+    perBucket.select(col("host"), col("hour_rank"),
+      expr("""stack(7,
+        'pages_per_hour', pages_per_hour,
+        'text_length', text_length,
+        'tokens', tokens,
+        'quality', quality,
+        'lang_match', lang_match,
+        'extract_ok', extract_ok,
+        'fp_spread', fp_spread) AS (metric, value)"""))
+      .select(concat(col("metric"), lit("|"), col("host")).as("series_id"),
+        col("hour_rank"), col("value"))
+  }
+
   /** ctas `data` fact table: one row per (metric, host shard, hour bucket). */
   def series(pages: DataFrame): DataFrame = seriesFrom(pages, shardCol)
 

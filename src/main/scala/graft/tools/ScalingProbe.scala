@@ -4,13 +4,18 @@ import graft.rollup._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+/** N-vs-4N scaling measurement for the end-to-end rollup job
+  * (BASELINE.md evidence). PROBE_LO / PROBE_HI select core counts;
+  * PROBE_PAGES the input size; PROBE_LOCALDIR the shuffle dir.
+  */
 object ScalingProbe {
+
   def session(cores: Int, shuffleParts: Int): SparkSession = {
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     val s = SparkSession.builder().master(s"local[$cores]")
       .appName(s"probe$cores-$shuffleParts")
       .config("spark.sql.shuffle.partitions", shuffleParts.toString)
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("PROBE_AQE", "true"))
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
       .config("spark.sql.files.maxPartitionBytes", "32m")
       .config("spark.local.dir", sys.env.getOrElse("PROBE_LOCALDIR", "/tmp"))
@@ -18,60 +23,70 @@ object ScalingProbe {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
+
+  /** the measured job: scan -> extract+text-metrics derive -> gap-fill
+    * the continuous metrics -> hourly/daily/weekly tiers -> anomaly flags
+    */
   def pipeline(spark: SparkSession, dir: String): Long = {
     val pages = spark.read.parquet(dir)
-    val series = SeriesDerive.hostSeriesFromHtml(pages)
+    // persist the derived series: BOTH the continuous (gap-filled) and
+    // sparse branches read it — without this the scan+extract+metrics
+    // derive runs twice
+    val series = SeriesDerive.hostSeriesRich(pages)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // gap-fill only continuous metrics (LOCF on count-like metrics is
+    // semantically wrong: a missing hour means zero pages)
+    val continuous = series.filter(
+      col("series_id").startsWith("text_length") ||
+        col("series_id").startsWith("quality") ||
+        col("series_id").startsWith("lang_match"))
+    val sparse = series.filter(!(
+      col("series_id").startsWith("text_length") ||
+        col("series_id").startsWith("quality") ||
+        col("series_id").startsWith("lang_match")))
     val dense = GapFill.locf(GapFill.densify(
-      series.withColumn("bucket", col("hour_rank").cast("long")),
+      continuous.withColumn("bucket", col("hour_rank").cast("long")),
       Seq("series_id"), "bucket", "value"), Seq("series_id"), "bucket", "value", "v")
+      .select(col("series_id"), col("bucket").as("hour_rank"), col("v").as("value"))
     val hourly = Tiers.hourly(
-      dense.select(col("series_id"), col("bucket").as("hour_rank"), col("v").as("value")),
+      dense.unionByName(sparse.select(col("series_id"), col("hour_rank"), col("value"))),
       "series_id", "hour_rank", "value")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val daily = Tiers.rollup(hourly, "hourly", "daily")
-    val weekly = Tiers.rollup(daily, "daily", "weekly")
-    hourly.count() + daily.count() + weekly.count() + Tiers.anomalyFlags(daily).count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pts = hourly.count() + daily.count() +
+      Tiers.rollup(daily, "daily", "weekly").count() +
+      Tiers.anomalyFlags(daily).count()
+    series.unpersist(); hourly.unpersist(); daily.unpersist()
+    pts
   }
-  def timed(spark: SparkSession, dir: String, tag: String): Double = {
-    def st[A](l: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[probe]   $tag/$l ${(System.nanoTime()-t0)/1e9}%.1fs"); r
-    }
-    val t0 = System.nanoTime()
-    val pages = spark.read.parquet(dir)
-    val series = SeriesDerive.hostSeriesFromHtml(pages)
 
-    val dense = GapFill.locf(GapFill.densify(
-      series.withColumn("bucket", col("hour_rank").cast("long")),
-      Seq("series_id"), "bucket", "value"), Seq("series_id"), "bucket", "value", "v")
-    val hourly = Tiers.hourly(
-      dense.select(col("series_id"), col("bucket").as("hour_rank"), col("v").as("value")),
-      "series_id", "hour_rank", "value")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    st("hourly")(hourly.count())
-    val daily = Tiers.rollup(hourly, "hourly", "daily")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    st("daily+flags")(daily.count() + Tiers.rollup(daily, "daily", "weekly").count() + Tiers.anomalyFlags(daily).count())
-    hourly.unpersist(); daily.unpersist()
-    val sec = (System.nanoTime()-t0)/1e9
-    val pts = 1L
-    println(f"[probe] $tag sec=$sec%.1f pps=${(pts/sec).round}")
-    pts/sec
+  def timed(spark: SparkSession, dir: String, tag: String): Double = {
+    val t0 = System.nanoTime()
+    val pts = pipeline(spark, dir)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] $tag pts=$pts sec=$sec%.1f pps=${(pts / sec).round}")
+    pts / sec
   }
+
   def main(args: Array[String]): Unit = {
-    val dir = "/tmp/probe_pages10m"
+    val nPages = sys.env.getOrElse("PROBE_PAGES", "500000").toLong
+    val dir = s"/tmp/probe_pages_$nPages"
     if (!new java.io.File(dir + "/_SUCCESS").exists()) {
-      val s = session(32, 64)
-      CrawlSynth.pages(s, 10000000L, 20000, 128).write.mode("overwrite").parquet(dir)
+      val s = session(16, 64)
+      CrawlSynth.pages(s, nPages, math.max(1000, (nPages / 100).toInt), 64)
+        .write.mode("overwrite").parquet(dir)
       s.stop()
     }
-    for (sp <- Seq(128)) {
-      val hi = session(32, sp)
-      timed(hi, dir, s"warm32/$sp"); val p32 = timed(hi, dir, s"hi32/$sp")
-      hi.stop()
-      val lo = session(8, sp)
-      timed(lo, dir, s"warm8/$sp"); val p8 = timed(lo, dir, s"lo8/$sp")
-      lo.stop()
-      println(f"[probe] sp=$sp efficiency=${p32/p8/4.0}%.3f")
-    }
+    val hiC = sys.env.getOrElse("PROBE_HI", "8").toInt
+    val loC = sys.env.getOrElse("PROBE_LO", "2").toInt
+    val sp = 64
+    val hi = session(hiC, sp)
+    timed(hi, dir, s"warm$hiC"); val pHi = timed(hi, dir, s"hi$hiC")
+    hi.stop()
+    val lo = session(loC, sp)
+    timed(lo, dir, s"warm$loC"); val pLo = timed(lo, dir, s"lo$loC")
+    lo.stop()
+    println(f"[probe] cores $loC->$hiC efficiency=${pHi / pLo / (hiC.toDouble / loC)}%.3f")
   }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import graft.rollup.{CrawlSynth, SeriesDerive}
+import org.apache.spark.sql.functions._
+
+/** Plan-quality assertions: predicate pushdown reaches the parquet scan,
+  * unused columns (notably the html binary) are pruned, dimension joins
+  * broadcast, and the hot paths stay inside whole-stage codegen
+  * (SURVEY.md §4.2).
+  */
+class PlanSpec extends GraftSuite {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("filters push down to the parquet scan") {
+    val df = spark.read.parquet(s"$sfTiny/lineitem.parquet")
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_quantity")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters"), plan.take(500))
+    assert(plan.contains("GreaterThan(l_quantity,45.0)") ||
+      plan.contains("GreaterThan(l_quantity"), "quantity filter should be pushed")
+    assert(plan.contains("IsNotNull(l_returnflag)") ||
+      plan.contains("EqualTo(l_returnflag,R)"), "returnflag filter should be pushed")
+  }
+
+  test("column pruning: projecting 2 columns reads a 2-column schema") {
+    val df = spark.read.parquet(s"$sfTiny/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val plan = planOf(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"),
+      s"unprojected column read: $readSchema")
+  }
+
+  test("rollup derive never reads the html binary unless extracting") {
+    val dir = java.nio.file.Files.createTempDirectory("planpages").toString
+    CrawlSynth.pages(spark, 200, nHosts = 10, numPartitions = 2)
+      .write.mode("overwrite").parquet(dir)
+    // hostSeries (text-based) must prune html
+    val plan = planOf(SeriesDerive.hostSeries(spark.read.parquet(dir)))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("html"), s"html not pruned: $readSchema")
+    // the html-extracting variant reads html but must prune text's oracle
+    val planRich = planOf(SeriesDerive.hostSeriesFromHtml(spark.read.parquet(dir)))
+    val rs2 = planRich.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs2.contains("html"))
+  }
+
+  test("dimension joins broadcast") {
+    val plan = planOf(SparkEntry.queries("q_join_broadcast")(spark, sfTiny))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "expected broadcast join for dimensions")
+  }
+
+  test("scalar feature aggregation is hash-based and codegen'd") {
+    val df = SparkEntry.queries("q_ts_features")(spark, sfTiny)
+    df.count() // finalize the AQE plan so codegen spans are visible
+    val plan = planOf(df)
+    assert(plan.contains("HashAggregate"), "expected hash aggregation")
+    assert(plan.contains("WholeStageCodegen"), "expected codegen spans")
+  }
+
+  test("native SimHash64 expression runs inside a codegen'd projection") {
+    // non-foldable input (range-derived) so the projection isn't
+    // collapsed into a LocalTableScan at optimization time
+    val df = spark.range(2)
+      .select(concat(lit("alpha beta gamma delta id"), col("id")).as("text"))
+      .select(graft.functions.SimHash64(
+        split(trim(col("text")), "\\s+"), 2).as("sh"))
+    df.count()
+    val plan = planOf(df)
+    assert(plan.toLowerCase.contains("simhash64"), plan.take(400))
+    assert(plan.contains("WholeStageCodegen"), "expected codegen span")
+    assert(df.collect().map(_.getLong(0)).distinct.length === 2)
+  }
+}
