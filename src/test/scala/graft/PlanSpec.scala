@@ -60,10 +60,13 @@ class PlanSpec extends GraftSuite {
 
   test("scalar feature aggregation is hash-based and codegen'd") {
     val df = SparkEntry.queries("q_ts_features")(spark, sfTiny)
-    df.count() // finalize the AQE plan so codegen spans are visible
-    val plan = planOf(df)
-    assert(plan.contains("HashAggregate"), "expected hash aggregation")
-    assert(plan.contains("WholeStageCodegen"), "expected codegen spans")
+    df.collect() // finalize THIS dataset's AQE plan (count() would re-plan)
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("HashAggregate"), "expected hash aggregation")
+    // codegen'd stages carry the "*(n)" whole-stage marker in the
+    // executed-plan tree (formatted explain of an unexecuted AQE plan
+    // shows isFinalPlan=false with no codegen ids)
+    assert(exec.contains("*("), "expected whole-stage codegen markers:\n" + exec.take(800))
   }
 
   test("native SimHash64 expression runs inside a codegen'd projection") {
@@ -73,10 +76,10 @@ class PlanSpec extends GraftSuite {
       .select(concat(lit("alpha beta gamma delta id"), col("id")).as("text"))
       .select(graft.functions.SimHash64(
         split(trim(col("text")), "\\s+"), 2).as("sh"))
-    df.count()
-    val plan = planOf(df)
-    assert(plan.toLowerCase.contains("simhash64"), plan.take(400))
-    assert(plan.contains("WholeStageCodegen"), "expected codegen span")
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.toLowerCase.contains("simhash64"), exec.take(400))
+    assert(exec.contains("*("), "expected whole-stage codegen marker:\n" + exec.take(800))
     assert(df.collect().map(_.getLong(0)).distinct.length === 2)
   }
 }

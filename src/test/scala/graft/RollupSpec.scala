@@ -212,16 +212,33 @@ class SnapshotStoreSpec extends GraftSuite {
   }
 
   test("kill/restart: resumed build skips committed partitions and completes") {
+    val pagesDir = java.nio.file.Files.createTempDirectory("tierpages").toString
+    TierBuilder.writePagesByDay(
+      CrawlSynth.pages(spark, 2000, nHosts = 30, numPartitions = 4), pagesDir)
+    val pages = spark.read.parquet(pagesDir) // day-partitioned source
     val root = java.nio.file.Files.createTempDirectory("tierbuild").toString
-    val pages = CrawlSynth.pages(spark, 2000, nHosts = 30, numPartitions = 4).cache()
-    // first run: crash after 2 partitions
+    // first run: crash after 2 per-day jobs
     val crashed = intercept[RuntimeException] {
-      TierBuilder.buildHourly(spark, pages, root, resume = true, failAfter = 2)
+      TierBuilder.buildHourly(spark, pages, root,
+        resume = true, failAfter = 2, daysPerJob = 1)
     }
     assert(crashed.getMessage.contains("injected failure"))
     val afterCrash = new SnapshotStore(root).committedPartitions()
     assert(afterCrash.size === 2, s"expected 2 committed, got $afterCrash")
-    // resume: completes the rest, skips the 2 committed
+
+    // the resumed scan prunes to the missing day partitions only
+    val allDays = pages.select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val missing = allDays.filterNot(d => afterCrash.contains(s"day=$d"))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      TierBuilder.prunedDayPages(pages, missing).explain("formatted")
+    }
+    val plan = out.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("day"), s"expected day PartitionFilters, got: $pf")
+
+    // resume: completes the rest in ONE job, skips the 2 committed
     val report = TierBuilder.buildHourly(spark, pages, root, resume = true)
     assert(report.skippedPartitions.size === 2)
     assert(report.builtPartitions.nonEmpty)
