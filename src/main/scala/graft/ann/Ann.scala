@@ -103,4 +103,42 @@ object Ann {
     }
     df.withColumn("cell", greatest(cellSims: _*).getField("cell"))
   }
+
+  /** IVF search: corpus vectors are bucketed into their nearest centroid
+    * cell once; each query probes its `nprobe` highest-scoring cells.
+    * Candidates come from a (cell) equi-join — one shuffle on the cell
+    * key, never O(Q·N) — and exact cosine re-ranks inside the probed
+    * cells. Complements lshTopK (recall measured against bruteForceTopK
+    * in DedupAnnSpec).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, dim: Int = 64, nprobe: Int = 4): DataFrame = {
+    val c = ivfAssign(corpus, nCells, dim)
+      .select(col("cell"), col("id").as("neighbor_id"), col("vec").as("cv"))
+    // per-query top-nprobe cells: sort (−sim, cell) structs ascending
+    val v = col("vec").cast("array<double>")
+    val cellScores = (0 until nCells).map { cIdx =>
+      val comps = (0 until dim).map(d => lit(planeComponent(1000 + cIdx, d)))
+      struct(
+        (-aggregate(zip_with(v, array(comps: _*), (x, h) => x * h),
+          lit(0.0), (acc, x) => acc + x)).as("negsim"),
+        lit(cIdx).as("cell"))
+    }
+    val probed = transform(
+      slice(sort_array(array(cellScores: _*)), 1, nprobe),
+      s => s.getField("cell"))
+    val q = queries
+      .select(col("id").as("query_id"), col("vec").as("qv"),
+        explode(probed).as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
 }

@@ -98,7 +98,9 @@ object MixedEffects {
             "(reference has no branch, R/ctas.R:1223-1235)")
 
     val mu = rows.map(_.value).sum / rows.length
-    var residual = rows.map(r => r.value - mu)
+    // mutable Array written in place (updated() would copy the whole
+    // array per element -> quadratic per group at crawl-series sizes)
+    val residual: Array[Double] = rows.map(r => r.value - mu)
 
     // within-group (error) variance estimate from the finest level
     def variance(xs: Seq[Double]): Double = {
@@ -143,7 +145,7 @@ object MixedEffects {
         val sd = math.sqrt(sims.map(x => (x - simMean) * (x - simMean)).sum / (nSims - 1))
         out += MeOut(ts, feature, g, simMean, median, sd)
         // subtract fitted effect before the next (finer) level
-        idx.foreach(i => residual = residual.updated(i, residual(i) - blup))
+        idx.foreach(i => residual(i) -= blup)
       }
     }
     out.iterator

@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for web-scale corpora. All candidate
@@ -11,6 +12,20 @@ import org.apache.spark.sql.functions._
   * bucket key.
   */
 object Dedup {
+
+  /** Drop rows in over-full candidate buckets: one degenerate bucket (a
+    * band of all-identical boilerplate, a zero simhash) would otherwise
+    * produce O(k²) pairs at corpus scale. Members beyond `cap` per key
+    * are dropped; the candidate generators keep the guarantee "every
+    * returned pair shares a bucket", trading recall inside pathological
+    * buckets for a hard bound on pair fan-out (VERDICT r01 #8). A window
+    * count reuses the bucket key's partitioning — no extra shuffle.
+    */
+  private[dedup] def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    df.withColumn("__bn",
+      count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("__bn") <= cap)
+      .drop("__bn")
 
   // ------------------------------------------------------------- exact
 
@@ -72,8 +87,11 @@ object Dedup {
     * bucket (id1 < id2, distinct).
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      bands: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
-    val b = lshBands(docs, idCol, textCol, bands, rowsPerBand, shingleN)
+      bands: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val b = capBuckets(
+      lshBands(docs, idCol, textCol, bands, rowsPerBand, shingleN),
+      Seq("band", "band_hash"), maxBucket)
     val l = b.select(col("band"), col("band_hash"), col("doc_id").as("id1"))
     val r = b.select(col("band"), col("band_hash"), col("doc_id").as("id2"))
     l.join(r, Seq("band", "band_hash"))
@@ -81,10 +99,16 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
-  /** exact word-shingle Jaccard for a pair table (verification stage) */
+  /** Exact word-shingle Jaccard for a pair table (verification stage).
+    * Shingles are hashed to longs (xxhash64) before the join — the same
+    * Jaccard up to negligible collision probability, but the shuffle
+    * ships 8 bytes per shingle instead of the full shingle text
+    * (VERDICT r01 #6).
+    */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("__id"), wordShingles(col(textCol), shingleN).as("__sh"))
+    val sh = docs.select(col(idCol).as("__id"),
+      transform(wordShingles(col(textCol), shingleN), s => xxhash64(s)).as("__sh"))
     pairs
       .join(sh.select(col("__id").as("id1"), col("__sh").as("sh1")), Seq("id1"))
       .join(sh.select(col("__id").as("id2"), col("__sh").as("sh2")), Seq("id2"))
@@ -121,12 +145,14 @@ object Dedup {
     * shares at least one identical block w.h.p.; verify with bit_count.
     */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, shingleN: Int = 2): DataFrame = {
+      maxHamming: Int = 3, shingleN: Int = 2, maxBucket: Int = 1000): DataFrame = {
     val withSim = docs.select(col(idCol).as("doc_id"),
       simhash64(col(textCol), shingleN).as("sim"))
-    val blocks = withSim.select(col("doc_id"), col("sim"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sim"), b * 16).bitwiseAND(0xffffL)): _*)).as(Seq("block", "block_val")))
+    val blocks = capBuckets(
+      withSim.select(col("doc_id"), col("sim"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sim"), b * 16).bitwiseAND(0xffffL)): _*)).as(Seq("block", "block_val"))),
+      Seq("block", "block_val"), maxBucket)
     val l = blocks.select(col("block"), col("block_val"),
       col("doc_id").as("id1"), col("sim").as("sim1"))
     val r = blocks.select(col("block"), col("block_val"),
@@ -153,10 +179,13 @@ object Dedup {
     * avoid the full cross-join; exact cosine verification inside buckets.
     */
   def embeddingNearDuplicates(embs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, planes: Int = 12, dim: Int = 64): DataFrame = {
+      threshold: Double = 0.95, planes: Int = 12, dim: Int = 64,
+      maxBucket: Int = 1000): DataFrame = {
     val sig = graft.ann.Ann.hyperplaneSignature(col(vecCol), planes, dim)
-    val withSig = embs.select(col(idCol).as("doc_id"),
-      col(vecCol).cast("array<double>").as("vec"), sig.as("sig"))
+    val withSig = capBuckets(
+      embs.select(col(idCol).as("doc_id"),
+        col(vecCol).cast("array<double>").as("vec"), sig.as("sig")),
+      Seq("sig"), maxBucket)
     val l = withSig.select(col("sig"), col("doc_id").as("id1"), col("vec").as("v1"))
     val r = withSig.select(col("sig"), col("doc_id").as("id2"), col("vec").as("v2"))
     l.join(r, Seq("sig"))

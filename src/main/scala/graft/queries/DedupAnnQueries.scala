@@ -80,6 +80,36 @@ object DedupAnnQueries {
       None
     ),
     Q(
+      // embedding-cosine near-duplicates via hyperplane-bucketed LSH.
+      // The sf corpus is near-orthogonal random vectors (max pairwise
+      // cosine ~0.51), so near-dups are PLANTED: ids < 5 re-enter scaled
+      // by 1.0001 (same direction => cosine exactly 1, same LSH bucket)
+      // — the operator must recover exactly those pairs. Engine-specific
+      // buckets => rows-only; recall also asserted in DedupAnnSpec.
+      "q_dedup_embedding",
+      (s, d) => {
+        val base = T.embeddings(s, d)
+          .select(col("vec_id").cast("long").as("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+        val planted = base.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 10000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(1.0001)).as("embedding"))
+        Dedup.embeddingNearDuplicates(base.unionByName(planted),
+          "vec_id", "embedding", threshold = 0.99, planes = 8)
+      },
+      None
+    ),
+    Q(
+      // IVF cell-probed ANN top-k (the coarse-quantization scale path;
+      // recall vs brute force measured in DedupAnnSpec)
+      "q_ann_ivf_topk",
+      (s, d) => {
+        val c = embs(s, d)
+        Ann.ivfTopK(c.filter(col("id") < 10), c, 3, nCells = 8, nprobe = 3)
+      },
+      None
+    ),
+    Q(
       // embedding norms / label profile — oracle via list_dot_product
       "q_embedding_norms",
       (s, d) =>

@@ -167,6 +167,22 @@ object RelationalQueries {
              |  FROM events) GROUP BY 1""".stripMargin)
     ),
     Q(
+      // percent_rank per group (the reference's test-prep verb,
+      // tests/test_process_a_study.R:72)
+      "q_window_percent_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        T.orders(s, d)
+          .withColumn("pr", round(percent_rank().over(w), 9))
+          .select("o_custkey", "o_orderkey", "pr")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(percent_rank() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice, o_orderkey), 9) AS pr
+             |FROM orders""".stripMargin)
+    ),
+    Q(
       "q_union_all",
       (s, d) => {
         val e = T.events(s, d)

@@ -26,6 +26,40 @@ object TextQueries {
              |FROM documents""".stripMargin)
     ),
     Q(
+      // BPE-ish subword estimate: words + ASCII punctuation + 1 token
+      // per 6 chars beyond the word count. The oracle spells out the
+      // same arithmetic with the explicit ASCII punct class (Java's
+      // \p{Punct}) so both engines count identical characters.
+      "q_text_tokens_bpe",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"),
+            TextOps.tokenCountBpe(col("text")).cast("long").as("n_tokens_bpe")),
+      Some("""SELECT doc_id,
+             |  CAST(
+             |    len(regexp_split_to_array(trim(text), '\s+'))
+             |    + length(text)
+             |      - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
+             |    + greatest(0, CAST(trunc(
+             |        (length(text) - len(regexp_split_to_array(trim(text), '\s+')))
+             |          / 6.0) AS INT))
+             |  AS BIGINT) AS n_tokens_bpe
+             |FROM documents""".stripMargin)
+    ),
+    Q(
+      // rolling k-word window fingerprints (content-defined dedup keys)
+      // — xxhash64 is engine-specific, so the driver check is rows-only;
+      // window-count arithmetic is asserted in DedupAnnSpec
+      "q_text_window_fp",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"),
+            size(TextOps.windowFingerprints(col("text"), 8)).as("n_windows"),
+            size(array_distinct(TextOps.windowFingerprints(col("text"), 8)))
+              .as("n_distinct_windows")),
+      None
+    ),
+    Q(
       "q_text_fingerprint_dups",
       (s, d) =>
         T.documents(s, d)

@@ -115,6 +115,45 @@ class AnnSpec extends GraftSuite {
     val again = Ann.ivfAssign(vecs, nCells = 8, dim = 16)
     assert(assigned.select("id", "cell").exceptAll(again.select("id", "cell")).isEmpty)
   }
+
+  test("IVF top-k recall against brute force is reasonable") {
+    val q = vecs.filter(col("id") < 20)
+    val exact = Ann.bruteForceTopK(q, vecs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.ivfTopK(q, vecs, 3, nCells = 8, dim = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.5, s"IVF recall $recall too low for nprobe=4 of 8 cells")
+    assert(approx.forall(_._2 < 200))
+    // a query's own cell is always among its probes: rank-1 self-cell
+    // neighbors must appear (probe list is deterministic)
+    val again = Ann.ivfTopK(q, vecs, 3, nCells = 8, dim = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx === again)
+  }
+
+  test("hot LSH buckets are capped: a degenerate band cannot explode pairs") {
+    // 60 identical docs share EVERY minhash band -> without the cap the
+    // candidate join emits 60*59/2 = 1770 pairs per band; with cap 10
+    // the degenerate buckets are dropped entirely (exact duplicates are
+    // exactDuplicates' job, not LSH's)
+    val hot = (0 until 60).map(i => (i.toLong, "the same boilerplate text repeated again and again"))
+    val normal = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val docs = (hot ++ normal).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(docs, "doc_id", "text",
+      bands = 4, rowsPerBand = 4, shingleN = 2, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(p => p._1 < 60 && p._2 < 60),
+      s"degenerate bucket produced pairs: ${capped.take(5)}")
+    // the near-identical normal pair still surfaces (its bucket is tiny)
+    assert(capped.contains((100L, 101L)), s"legit candidate lost: $capped")
+    // and the simhash path respects its cap too
+    val simCapped = Dedup.simhashNearDuplicates(docs, "doc_id", "text",
+      maxHamming = 10, shingleN = 2, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!simCapped.exists(p => p._1 < 60 && p._2 < 60), s"simhash: $simCapped")
+  }
 }
 
 class TextOpsSpec extends GraftSuite {
