@@ -43,6 +43,85 @@ class MixedEffectsSpec extends GraftSuite {
     }
   }
 
+  test("balanced one-way fit equals closed-form REML/BLUP (lmer parity)") {
+    // For a BALANCED one-way random-intercept model, lmer's REML solution
+    // has a closed form: sigma_e^2 = MSW, sigma_a^2 = (MSB - MSW)/r, and
+    // BLUP_i = shrink * (ybar_i - mu) with shrink = sa2/(sa2 + se2/r).
+    // The EB moment kernel computes exactly these quantities on this
+    // design, so its per-entity simulated mean must converge to the BLUP
+    // (Monte-Carlo error ~ postSd/sqrt(500)) and the simulated sd to
+    // postSd — a numerical-fidelity bound against lmer, not just shape.
+    val g = 6; val r = 10
+    val rng = new java.util.SplittableRandom(99)
+    val trueEff = Array.tabulate(g)(i => (i - 2.5) * 2.0) // site effects
+    val rows = for {
+      i <- 0 until g; j <- 0 until r
+    } yield ("ts_x", "average", "country",
+      s"subj_${i}_$j", s"site$i", "c1", "r1",
+      50.0 + trueEff(i) + rng.nextGaussian() * 1.5)
+    import spark.implicits._
+    val eligible = rows.toDF("timeseries_id", "feature", "ref_group",
+      "subject_id", "site", "country", "region", "feature_value")
+
+    // closed-form REML on the same data
+    val vals = rows.map(_._8).toArray
+    val mu = vals.sum / vals.length
+    val groupMeans = (0 until g).map(i => vals.slice(i * r, i * r + r).sum / r)
+    val msw = (0 until g).map { i =>
+      val gv = vals.slice(i * r, i * r + r)
+      gv.map(v => math.pow(v - groupMeans(i), 2)).sum
+    }.sum / (g * (r - 1))
+    val msb = groupMeans.map(m => math.pow(m - mu, 2)).sum / (g - 1) * r
+    val sa2 = math.max(0.0, (msb - msw) / r)
+    val shrink = sa2 / (sa2 + msw / r)
+    val postSd = math.sqrt(shrink * msw / r)
+
+    val out = MixedEffects.score(spark, eligible, CtasConfig()).collect()
+    assert(out.length === g, s"one entity per site, got ${out.length}")
+    (0 until g).foreach { i =>
+      val row = out.find(_.getAs[String]("entity") == s"site$i").get
+      val blup = shrink * (groupMeans(i) - mu)
+      val mcTol = 5.0 * postSd / math.sqrt(500.0)
+      assert(math.abs(row.getAs[Double]("mean") - blup) <= mcTol,
+        f"site$i BLUP: got ${row.getAs[Double]("mean")}%.4f want $blup%.4f (±$mcTol%.4f)")
+      assert(math.abs(row.getAs[Double]("sd") - postSd) <= 0.15 * postSd,
+        f"site$i postSd: got ${row.getAs[Double]("sd")}%.4f want $postSd%.4f")
+    }
+  }
+
+  test("nested balanced design recovers planted region/country/site effects") {
+    // 2 regions x 2 countries each x 3 sites each x 20 subjects: the
+    // sequential per-level EB fit must place each level's entity effects
+    // close to the planted ones (shrinkage makes them biased toward 0,
+    // so compare against the shrunk target with a generous band).
+    val rng = new java.util.SplittableRandom(7)
+    val regions = Seq("rA" -> 5.0, "rB" -> -5.0)
+    val rows = for {
+      (reg, re) <- regions
+      ci <- 0 until 2
+      si <- 0 until 3
+      subj <- 0 until 20
+    } yield {
+      val ce = (ci - 0.5) * 4.0
+      val se = (si - 1.0) * 2.0
+      ("ts_y", "average", "country", s"s_${reg}_${ci}_${si}_$subj",
+        s"$reg-c$ci-site$si", s"$reg-c$ci", reg,
+        100.0 + re + ce + se + rng.nextGaussian() * 1.0)
+    }
+    import spark.implicits._
+    val eligible = rows.toDF("timeseries_id", "feature", "ref_group",
+      "subject_id", "site", "country", "region", "feature_value")
+    val out = MixedEffects.score(spark, eligible, CtasConfig()).collect()
+      .map(r => r.getAs[String]("entity") -> r.getAs[Double]("median")).toMap
+    // region effects: correct sign, at least half the planted magnitude
+    assert(out("rA") > 2.0 && out("rB") < -2.0, s"region effects: $out")
+    // within each region, the +2 country must score above the -2 country
+    assert(out("rA-c1") > out("rA-c0"), s"country order rA: $out")
+    assert(out("rB-c1") > out("rB-c0"), s"country order rB: $out")
+    // sites: within a country, planted +2 > planted -2
+    assert(out("rA-c0-site2") > out("rA-c0-site0"), s"site order: $out")
+  }
+
   test("deterministic: two runs give identical scores") {
     val cfg = CtasConfig(defaultFeatures = "average", siteScoringMethod = "mixedeffects")
     val a = CtasPipeline.processAStudy(study.input, cfg).get.siteScores

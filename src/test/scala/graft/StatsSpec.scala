@@ -76,6 +76,65 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(Stats.pkolmogorov(1.000001) - 0.7300003283226455) < 3e-6)
   }
 
+  test("ks.test p-values pinned against independent exact-rational references") {
+    // Reference values from tools/gen_ks_reference.py: the exact path is
+    // big-integer lattice-path counting over exact rationals (correct to
+    // the last double bit, implementation-independent); the asymptotic
+    // paths use the public Kolmogorov series / one-sided exponential
+    // bound with R ks.test path selection (exact iff m*n < 10^4 and no
+    // ties — R/ctas.R:355 semantics). Same LCG sample generator on both
+    // sides (Java Long overflow == python mod 2^64).
+    def sample(seed: Long, n: Int, scale: Double = 1.0, shift: Double = 0.0): Array[Double] = {
+      var s = seed
+      Array.fill(n) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        shift + scale * ((s >>> 11).toDouble / 9007199254740992.0)
+      }
+    }
+    val ties = Array[Double](1, 2, 2, 3, 4, 5, 5)
+    val ties2 = Array[Double](2, 3, 3, 4, 6, 6)
+    val cases: Seq[(String, Array[Double], Array[Double], Stats.KsAlternative, Double, Double)] = Seq(
+      ("x5y7 two", sample(1, 5), sample(2, 7), Stats.TwoSided,
+        0.42857142857142855, 0.5454545454545454),
+      ("x5y7 greater", sample(1, 5), sample(2, 7), Stats.Greater,
+        0.22857142857142856, 0.6300505050505051),
+      ("x5y7 less", sample(1, 5), sample(2, 7), Stats.Less,
+        0.42857142857142855, 0.2765151515151515),
+      ("x8y8 two", sample(3, 8), sample(4, 8, scale = 1.3), Stats.TwoSided,
+        0.375, 0.6601398601398601),
+      ("x8y8 greater", sample(3, 8), sample(4, 8, scale = 1.3), Stats.Greater,
+        0.375, 0.3393939393939394),
+      ("x8y8 less", sample(3, 8), sample(4, 8, scale = 1.3), Stats.Less,
+        0.125, 0.8888888888888888),
+      ("x20y30 two", sample(5, 20), sample(6, 30, shift = 0.2), Stats.TwoSided,
+        0.5, 0.003356115391389147),
+      ("x20y30 greater", sample(5, 20), sample(6, 30, shift = 0.2), Stats.Greater,
+        0.5, 0.0016780576957157918),
+      ("x20y30 less", sample(5, 20), sample(6, 30, shift = 0.2), Stats.Less,
+        0.0, 1.0),
+      ("x40y60 two", sample(7, 40), sample(8, 60, shift = 0.35), Stats.TwoSided,
+        0.5, 6.2660190148725815e-06),
+      ("x40y60 greater", sample(7, 40), sample(8, 60, shift = 0.35), Stats.Greater,
+        0.5, 3.1330095074362908e-06),
+      // m*n = 12000 >= 10^4 -> asymptotic even without ties
+      ("x150y80 two asymp", sample(9, 150), sample(10, 80, shift = 0.15), Stats.TwoSided,
+        0.2916666666666667, 2.7917704328561666e-04),
+      ("x150y80 greater asymp", sample(9, 150), sample(10, 80, shift = 0.15), Stats.Greater,
+        0.2916666666666667, 1.3958852164318043e-04),
+      // ties force the asymptotic path even at small m*n
+      ("ties two asymp", ties, ties2, Stats.TwoSided,
+        0.3333333333333333, 0.865413283499468),
+      ("ties greater asymp", ties, ties2, Stats.Greater,
+        0.3333333333333333, 0.4877517468944826),
+      ("ties less asymp", ties, ties2, Stats.Less, 0.0, 1.0))
+    cases.foreach { case (tag, x, y, alt, wantD, wantP) =>
+      val r = Stats.ksTest(x, y, alt)
+      assert(math.abs(r.statistic - wantD) <= 1e-12, s"$tag D: ${r.statistic} want $wantD")
+      val tol = math.max(1e-12, wantP * 1e-9)
+      assert(math.abs(r.pValue - wantP) <= tol, s"$tag p: ${r.pValue} want $wantP")
+    }
+  }
+
   test("deterministic jitter is stable, small, and centered") {
     val vals = (1 to 10000).map(i => Stats.jitter(Stats.hash64(s"key$i")))
     assert(Stats.jitter(Stats.hash64("key1")) === vals.head) // deterministic
