@@ -48,6 +48,38 @@ object DedupAnnQueries {
       None
     ),
     Q(
+      // brute-force word-bigram Jaccard near-dup pairs over a bounded
+      // doc subset — exact DuckDB oracle. This is the correctness
+      // baseline for n-gram Jaccard dedup; the unbounded-corpus path is
+      // q_dedup_minhash_lsh's bucketed LSH with in-bucket verification.
+      "q_dedup_ngram_jaccard",
+      (s, d) => {
+        val sh = T.documents(s, d).filter(col("doc_id") < 40)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__w"))
+          .select(col("doc_id"), Dedup.shinglesFromWords(col("__w"), 2).as("sh"))
+        val l = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+        val r = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+        l.join(r, col("id1") < col("id2"))
+          .withColumn("jaccard",
+            size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+              size(array_union(col("sh1"), col("sh2"))).cast("double"))
+          .filter(col("jaccard") >= 0.05)
+          .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(1, len(regexp_split_to_array(trim(text), '\s+')) - 1) + 1),
+             |    i -> array_to_string((regexp_split_to_array(trim(text), '\s+'))[i:i+1], ' ')))
+             |    AS sh
+             |  FROM documents WHERE doc_id < 40)
+             |SELECT l.doc_id AS id1, r.doc_id AS id2,
+             |  round(len(list_intersect(l.sh, r.sh)) * 1.0 /
+             |        len(list_distinct(list_concat(l.sh, r.sh))), 6) AS jaccard
+             |FROM docs l JOIN docs r ON l.doc_id < r.doc_id
+             |WHERE len(list_intersect(l.sh, r.sh)) * 1.0 /
+             |      len(list_distinct(list_concat(l.sh, r.sh))) >= 0.05""".stripMargin)
+    ),
+    Q(
       // brute-force cosine top-3 neighbors for 10 query vectors —
       // exact oracle via DuckDB list_cosine_similarity (double-cast)
       "q_ann_bruteforce_topk",

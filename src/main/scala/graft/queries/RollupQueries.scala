@@ -158,14 +158,73 @@ object RollupQueries {
               |FROM es GROUP BY 1, 2""".stripMargin)
     ),
     Q(
-      // per-series anomaly screen over the daily tier (rows-only check:
-      // thresholds are engine-specific; correctness covered by TiersSpec)
+      // per-series anomaly screen over the daily tier vs the same
+      // windowed-aggregate pipeline in closed-form DuckDB SQL. The daily
+      // state is rounded BEFORE the screen so per-bucket avgs are
+      // bit-identical across engines (countDistinct over computed
+      // doubles is fp-summation-order-sensitive otherwise — same fix as
+      // q_ts_features); stats rounded to 6 dp, flags cast to int.
       "q_tier_anomaly_flags",
       (s, d) => {
         val hourly = Tiers.hourly(eventSeries(s, d), "series_id", "hour_rank", "value")
-        Tiers.anomalyFlags(Tiers.rollup(hourly, "hourly", "daily"))
+        val daily = Tiers.rollup(hourly, "hourly", "daily")
+          .withColumn("sum", round(col("sum"), 9))
+          .withColumn("sumsq", round(col("sumsq"), 6))
+        Tiers.anomalyFlags(daily).select(
+          col("series_id"), col("n_buckets"),
+          round(col("autocorr"), 6).as("autocorr"),
+          round(col("sd_of_diffs"), 6).as("sd_of_diffs"),
+          round(col("uniq_share"), 6).as("uniq_share"),
+          round(col("series_mean"), 6).as("series_mean"),
+          round(col("series_sd"), 6).as("series_sd"),
+          col("flag_repeated_values").cast("int").as("flag_repeated_values"),
+          col("flag_zigzag").cast("int").as("flag_zigzag"),
+          col("flag_spike").cast("int").as("flag_spike"),
+          col("flag_flat").cast("int").as("flag_flat"))
       },
-      None
+      Some(s"""WITH es AS ($eventSeriesSql),
+              |hourly AS (
+              |  SELECT series_id, hour_rank AS bucket, count(value) AS n,
+              |    sum(value) AS s, min(value) AS mn, max(value) AS mx
+              |  FROM es GROUP BY 1, 2),
+              |daily AS (
+              |  SELECT series_id, CAST(floor(bucket / 24) AS BIGINT) AS bucket,
+              |    sum(n) AS n, round(sum(s), 9) AS s
+              |  FROM hourly GROUP BY 1, 2),
+              |t AS (SELECT series_id, bucket, s / n AS avg FROM daily),
+              |lagged AS (
+              |  SELECT series_id, bucket, avg,
+              |    CASE WHEN bucket - lag(bucket) OVER w = 1
+              |      THEN lag(avg) OVER w END AS prev_avg
+              |  FROM t WINDOW w AS (PARTITION BY series_id ORDER BY bucket)),
+              |per AS (
+              |  SELECT series_id,
+              |    count(*) AS n_buckets,
+              |    covar_samp(avg, prev_avg) AS ac_cov,
+              |    stddev_samp(CASE WHEN prev_avg IS NOT NULL THEN avg END) AS ac_sx,
+              |    stddev_samp(CASE WHEN avg IS NOT NULL THEN prev_avg END) AS ac_sy,
+              |    stddev_samp(avg - prev_avg) AS sd_of_diffs,
+              |    count(DISTINCT avg) * 1.0 / count(avg) AS uniq_share,
+              |    avg(avg) AS series_mean,
+              |    stddev_samp(avg) AS series_sd,
+              |    max(avg) AS series_max
+              |  FROM lagged GROUP BY 1),
+              |fin AS (
+              |  SELECT *, ac_cov / NULLIF(ac_sx * ac_sy, 0) AS autocorr FROM per)
+              |SELECT series_id, n_buckets,
+              |  round(autocorr, 6) AS autocorr,
+              |  round(sd_of_diffs, 6) AS sd_of_diffs,
+              |  round(uniq_share, 6) AS uniq_share,
+              |  round(series_mean, 6) AS series_mean,
+              |  round(series_sd, 6) AS series_sd,
+              |  CAST(n_buckets >= 5 AND uniq_share <= 0.2 AS INT) AS flag_repeated_values,
+              |  CAST(autocorr IS NOT NULL AND autocorr < -0.8 AND n_buckets >= 5 AS INT)
+              |    AS flag_zigzag,
+              |  CAST(series_sd IS NOT NULL AND series_sd > 0
+              |    AND (series_max - series_mean) / series_sd > 4.0 AS INT) AS flag_spike,
+              |  CAST(series_sd IS NOT NULL AND series_sd = 0 AND n_buckets >= 5 AS INT)
+              |    AS flag_flat
+              |FROM fin""".stripMargin)
     )
   )
 }

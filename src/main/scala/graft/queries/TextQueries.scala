@@ -99,7 +99,24 @@ object TextQueries {
         T.documents(s, d)
           .select(col("doc_id"), TextOps.langId(col("text")).as("lang_guess"))
           .groupBy(col("lang_guess")).agg(count(lit(1)).as("n")),
-      None
+      // same stopword-hit argmax in DuckDB: list_sort of (hits, lang)
+      // structs, take last = max — replicates Spark's struct ordering
+      // (hits first, then lang lexicographic on ties); \b is the same
+      // ASCII word boundary in RE2 and Java regex
+      Some("""WITH scored AS (
+             |  SELECT doc_id, list_sort([
+             |    {'hits': len(regexp_extract_all(lower(text),
+             |       '\b(der|die|und|das|ist|von|mit|nicht)\b')), 'lang': 'de'},
+             |    {'hits': len(regexp_extract_all(lower(text),
+             |       '\b(the|and|of|to|in|is|that|with)\b')), 'lang': 'en'},
+             |    {'hits': len(regexp_extract_all(lower(text),
+             |       '\b(el|los|las|es|una|por|con|para)\b')), 'lang': 'es'},
+             |    {'hits': len(regexp_extract_all(lower(text),
+             |       '\b(le|la|les|et|des|est|une|dans)\b')), 'lang': 'fr'}])[-1] AS best
+             |  FROM documents)
+             |SELECT CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_guess,
+             |  count(*) AS n
+             |FROM scored GROUP BY 1""".stripMargin)
     ),
     Q(
       // per-source token statistics (document-level corpus profiling)
