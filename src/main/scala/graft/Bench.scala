@@ -46,7 +46,8 @@ object Bench {
     * in-process classloader, so java.class.path is useless here).
     */
   private[graft] def runFork(cores: Int, pagesDir: String, reps: Int,
-      kernelSeries: Int): Option[(Long, Seq[Double], Seq[Double])] = {
+      kernelSeries: Int, shuffleParts: Int, warmupDir: Option[String] = None)
+      : Option[(Long, Seq[Double], Seq[Double], Seq[Double])] = {
     // sbt runs us with `run / fork := true`, so java.class.path IS the
     // full application classpath. Code-source paths are appended for
     // launch modes where it isn't (e.g. an in-process runner): the app
@@ -63,7 +64,7 @@ object Bench {
       .defaultModuleOptions().split("\\s+").toSeq.filter(_.nonEmpty)
     val cmd = Seq(javaBin) ++ moduleOpts ++ Seq("-Xmx24g", "-cp", cp,
       "graft.tools.ScalingFork", cores.toString, pagesDir, reps.toString,
-      kernelSeries.toString)
+      kernelSeries.toString, shuffleParts.toString) ++ warmupDir.toSeq
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val proc = pb.start()
@@ -81,7 +82,7 @@ object Bench {
       }
       val points = "\"points\":(\\d+)".r.findFirstMatchIn(json)
         .map(_.group(1).toLong).getOrElse(0L)
-      (points, arr("pipeline_secs"), arr("kernel_sps"))
+      (points, arr("pipeline_secs"), arr("steal_frac"), arr("kernel_sps"))
     }
   }
 
@@ -92,18 +93,34 @@ object Bench {
     else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
+  private def arr(xs: Seq[Double]): String =
+    xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val (nPages, nScalePages) = sfDir match {
-      case d if d.contains("sf0.1")  => (3000000L, 100000L)
-      case d if d.contains("sf0.01") => (300000L, 60000L)
+    // big table: headline + the 8->32 pair. mid table: the 1->4 pair —
+    // sized so the lo level is WORK-dominated (the ~5-7s of fixed
+    // per-action plan/schedule overhead must stay <10% of a rep at the
+    // hi level too, or "scaling" just measures constant overhead;
+    // r02 diagnosis: a 100k-page input made 8/32 cores look anti-scaling)
+    val (nPagesBig, nPagesMid) = sfDir match {
+      case d if d.contains("sf0.1")  => (3000000L, 1200000L)
+      case d if d.contains("sf0.01") => (300000L, 150000L)
       case _                         => (30000L, 20000L)
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val kernelSeries = 96
+    val maxCores = Runtime.getRuntime.availableProcessors
 
     val spark = session(cpus, math.max(cpus, 16))
+    // untimed session warmup (JIT, codegen, parquet footers): without
+    // this the alphabetically-first query absorbs ~5 s of one-time cost
+    try {
+      graft.util.T.lineitem(spark, sfDir)
+        .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+        .count().count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val status =
@@ -113,60 +130,101 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, status)
     }
 
-    // one-time setup (untimed): materialize the synthetic crawl tables —
-    // a big one for the headline throughput number and a smaller one the
-    // per-core-level forks can afford >=3 reps on at 1 core
+    // one-time setup (untimed): materialize the synthetic crawl tables
     val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
-    val pagesDir = s"$tmp/pages"
-    val scaleDir = s"$tmp/pages_small"
-    graft.rollup.CrawlSynth.pages(spark, nPages, nHosts = 10000, numPartitions = 64)
-      .write.mode("overwrite").parquet(pagesDir)
-    graft.rollup.CrawlSynth.pages(spark, nScalePages, nHosts = 2000, numPartitions = 32)
-      .write.mode("overwrite").parquet(scaleDir)
-
-    // headline throughput at full parallelism: warm on the small table
-    // (JIT/codegen), then one measured run on the big one
-    graft.tools.ScalingProbe.pipeline(spark, scaleDir)
-    val t0 = System.nanoTime()
-    val ptsHigh = graft.tools.ScalingProbe.pipeline(spark, pagesDir)
-    val secHigh = (System.nanoTime() - t0) / 1e9
+    val bigDir = s"$tmp/pages_big"
+    val midDir = s"$tmp/pages_mid"
+    val warmDir = s"$tmp/pages_warm"
+    def hosts(n: Long): Int = math.max(1000L, n / 300).toInt
+    graft.rollup.CrawlSynth.pages(spark, nPagesBig, hosts(nPagesBig), numPartitions = 64)
+      .write.mode("overwrite").parquet(bigDir)
+    graft.rollup.CrawlSynth.pages(spark, nPagesMid, hosts(nPagesMid), numPartitions = 32)
+      .write.mode("overwrite").parquet(midDir)
+    val nWarm = math.max(10000L, nPagesMid / 16)
+    graft.rollup.CrawlSynth.pages(spark, nWarm, hosts(nWarm), numPartitions = 16)
+      .write.mode("overwrite").parquet(warmDir)
     spark.stop()
 
-    // scaling evidence: fresh JVM per level, median of `reps`
-    val levels = Seq(1, 4, 8, 32).filter(_ <= Runtime.getRuntime.availableProcessors)
-    val perLevel: Map[Int, (Long, Double, Double)] = levels.flatMap { c =>
-      runFork(c, scaleDir, reps, kernelSeries).map { case (pts, psecs, ksps) =>
-        c -> (pts, pts / median(psecs), median(ksps))
+    // let page-cache writeback from the query phase + synth settle so the
+    // first fork isn't contaminated (r02 diagnosis: the 1-core fork ran
+    // 3.5x slower mid-writeback than on a quiet box)
+    Thread.sleep(20000)
+
+    // headline throughput: fresh JVM (the query phase's heap/GC state
+    // previously inflated this 2x+), full parallelism. Reported from the
+    // BEST rep: this box shows multi-minute hypervisor CPU-steal bursts
+    // (per-rep steal fraction is measured and emitted) that stretch
+    // identical reps 2-4x, so min() estimates true capability and the
+    // steal array documents contamination.
+    val headCores = math.min(32, maxCores)
+    val head = runFork(headCores, bigDir, reps, 0, shuffleParts = headCores * 2,
+      warmupDir = Some(warmDir))
+    val headJson = head.map { case (pts, psecs, steals, _) =>
+      val sec = psecs.min
+      s""""rollup":{"points":$pts,"seconds":${f"$sec%.2f"},""" +
+        s""""points_per_sec":${(pts / sec).round},"cores":$headCores,""" +
+        s""""fresh_jvm":true,"rep_secs":${arr(psecs)},""" +
+        s""""rep_steal_frac":${arr(steals)},""" +
+        s""""median_seconds":${f"${median(psecs)}%.2f"}}"""
+    }.getOrElse(""""rollup":null""")
+
+    // scaling evidence: fresh JVM per rep, lo/hi INTERLEAVED so steal
+    // bursts hit both levels of a pair equally; shuffle partitions pinned
+    // to the pair's hi level so parallelism is the only variable; min()
+    // across reps per level (least-stolen rep), medians also reported
+    class Acc {
+      var pts = 0L
+      var psecs = List.empty[Double]
+      var steals = List.empty[Double]
+      var ksps = List.empty[Double]
+      def pps: Double = pts / psecs.min
+      def json(cores: Int): String =
+        s""""c$cores":{"pipeline_secs":${arr(psecs)},"steal_frac":${arr(steals)},""" +
+          s""""pipeline_pps_best":${pps.round},""" +
+          s""""pipeline_pps_median":${(pts / median(psecs)).round},""" +
+          s""""kernel_sps":${arr(ksps)}}"""
+    }
+    val pairs = Seq((1, 4, midDir, nPagesMid), (8, 32, bigDir, nPagesBig))
+      .filter(p => p._2 <= maxCores)
+    val pairJson = pairs.flatMap { case (lo, hi, dir, npages) =>
+      val parts = hi * 2
+      // enough kernel work that the hi level runs >=2s (96 series at 32
+      // cores is 3 task waves of ~35ms — pure scheduling noise)
+      val kSeries = math.max(kernelSeries, hi * 24)
+      val acc = Map(lo -> new Acc, hi -> new Acc)
+      for (_ <- 1 to reps; c <- Seq(lo, hi)) {
+        Thread.sleep(5000) // settle between forks
+        runFork(c, dir, 1, kSeries, parts, warmupDir = Some(warmDir))
+          .foreach { case (pts, psecs, steals, ksps) =>
+            val a = acc(c); a.pts = pts
+            a.psecs ++= psecs; a.steals ++= steals; a.ksps ++= ksps
+          }
       }
-    }.toMap
+      val (l, h) = (acc(lo), acc(hi))
+      if (l.psecs.isEmpty || h.psecs.isEmpty) None
+      else {
+        val eff = (h.pps / l.pps) / (hi.toDouble / lo)
+        val keff =
+          if (l.ksps.isEmpty || h.ksps.isEmpty) Double.NaN
+          else (h.ksps.max / l.ksps.max) / (hi.toDouble / lo)
+        Some(s""""${lo}_to_$hi":{"input_pages":$npages,"shuffle_parts":$parts,""" +
+          s""""interleaved":true,${l.json(lo)},${h.json(hi)},""" +
+          s""""efficiency":${f"$eff%.3f"},""" +
+          s""""kernel_efficiency":${if (keff.isNaN) "null" else f"$keff%.3f"}}""")
+      }
+    }.mkString("{", ",", "}")
 
-    // valid JSON even when a level is missing: null, never NaN
-    def eff(lo: Int, hi: Int, f: ((Long, Double, Double)) => Double): String =
-      (for { l <- perLevel.get(lo); h <- perLevel.get(hi) }
-        yield f"${(f(h) / f(l)) / (hi.toDouble / lo)}%.3f").getOrElse("null")
-
-    val ppsHigh = ptsHigh / secHigh
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, st) if st != "ok" =>
       "\"" + k + "\":\"" + st.replace("\"", "'").replace("\n", " ") + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val levelsJson = levels.flatMap { c =>
-      perLevel.get(c).map { case (pts, pps, ksps) =>
-        s""""$c":{"points":$pts,"pipeline_pps":${pps.round},"kernel_sps":${f"$ksps%.2f"}}"""
-      }
-    }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failed,"sf":"$sfDir","cores":$cpus,""" +
-        s""""rollup":{"points":$ptsHigh,"seconds":${f"$secHigh%.2f"},""" +
-        s""""points_per_sec":${ppsHigh.round}},""" +
+        headJson + "," +
         s""""scaling":{"reps":$reps,"fresh_jvm_per_level":true,""" +
-        s""""levels":$levelsJson,""" +
-        s""""efficiency_1_to_4":${eff(1, 4, _._2)},""" +
-        s""""efficiency_8_to_32":${eff(8, 32, _._2)},""" +
-        s""""kernel_efficiency_1_to_4":${eff(1, 4, _._3)},""" +
-        s""""kernel_efficiency_8_to_32":${eff(8, 32, _._3)}}}""")
+        s""""pairs":$pairJson}}""")
   }
 }

@@ -158,6 +158,47 @@ object RollupQueries {
               |FROM es GROUP BY 1, 2""".stripMargin)
     ),
     Q(
+      // the streaming spike detector's kernel (flatMapGroupsWithState,
+      // Welford state) run in batch mode over the hourly tier, checked
+      // against the closed-form prefix-window SQL ("state before the
+      // point" == aggregates over ROWS UNBOUNDED PRECEDING..1 PRECEDING).
+      // Bucket avgs rounded to 9 dp pre-kernel for cross-engine bit-
+      // identity; z rounded to 6 dp (Welford vs two-pass last-ulp drift).
+      "q_stream_anomaly",
+      (s, d) => {
+        import s.implicits._
+        val hourly = Tiers.hourly(eventSeries(s, d), "series_id", "hour_rank", "value")
+        val pts = Tiers.withDerived(hourly)
+          .select(col("series_id"), col("bucket"),
+            round(col("avg"), 9).as("value"))
+          .as[graft.streaming.StreamingAnomaly.PointIn]
+        graft.streaming.StreamingAnomaly.detect(pts, minN = 5, zThreshold = 4.0)
+          .toDF()
+          .select(col("series_id"), col("bucket"),
+            round(col("value"), 6).as("value"),
+            round(col("z"), 6).as("z"), col("n_seen"))
+      },
+      Some(s"""WITH es AS ($eventSeriesSql),
+              |hourly AS (
+              |  SELECT series_id, hour_rank AS bucket,
+              |    round(sum(value) / count(value), 9) AS value
+              |  FROM es GROUP BY 1, 2),
+              |scr AS (
+              |  SELECT series_id, bucket, value,
+              |    count(value) OVER w AS n_prev,
+              |    avg(value) OVER w AS mean_prev,
+              |    stddev_samp(value) OVER w AS sd_prev
+              |  FROM hourly
+              |  WINDOW w AS (PARTITION BY series_id ORDER BY bucket
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+              |SELECT series_id, bucket, round(value, 6) AS value,
+              |  round((value - mean_prev) / sd_prev, 6) AS z,
+              |  n_prev AS n_seen
+              |FROM scr
+              |WHERE n_prev >= 5 AND sd_prev > 0
+              |  AND abs((value - mean_prev) / sd_prev) > 4.0""".stripMargin)
+    ),
+    Q(
       // per-series anomaly screen over the daily tier vs the same
       // windowed-aggregate pipeline in closed-form DuckDB SQL. The daily
       // state is rounded BEFORE the screen so per-bucket avgs are

@@ -3,14 +3,28 @@ package graft.tools
 /** Child-JVM entry point for scaling measurements (VERDICT r01 "What's
   * wrong" #3: all core levels previously shared ONE JVM — shared JIT, GC
   * and heap made the 1-vs-4-core comparison noise). `graft.Bench` forks
-  * one fresh JVM per core level via this main; each fork runs the
-  * end-to-end rollup pipeline (ScalingProbe.pipeline) `reps` times after
-  * a warmup, plus the CPU-bound per-series kernel witness, and prints a
-  * single machine-readable line:
+  * fresh JVMs via this main; each fork warms up (JIT + codegen + parquet
+  * footers, on a small warmup table so a 1-core fork doesn't pay a
+  * full-price unmeasured rep), runs the end-to-end rollup pipeline
+  * (ScalingProbe.pipeline) `reps` times, plus the CPU-bound per-series
+  * kernel witness, and prints a single machine-readable line:
   *
-  *   SCALING_RESULT {"cores":N,"points":P,"pipeline_secs":[..],"kernel_sps":[..]}
+  *   SCALING_RESULT {"cores":N,"points":P,"pipeline_secs":[..],
+  *                   "steal_frac":[..],"kernel_sps":[..]}
   *
-  * args: <cores> <pagesDir> <reps> <kernelSeries>
+  * steal_frac is the hypervisor CPU-steal share of each measured rep
+  * (delta of /proc/stat field 8 over delta of all fields): this box
+  * shows multi-minute steal bursts that stretch identical reps 2-4x, so
+  * Bench interleaves lo/hi forks rep-by-rep and aggregates with min()
+  * — the least-stolen rep is the closest estimate of true capability —
+  * while steal_frac documents how contaminated each rep was.
+  *
+  * args: <cores> <pagesDir> <reps> <kernelSeries> [shuffleParts] [warmupDir]
+  *
+  * kernelSeries == 0 skips the kernel witness (headline mode).
+  * shuffleParts defaults to max(cores*2, 8); Bench passes the hi level's
+  * partition count for BOTH levels of an N->4N pair so the only variable
+  * between the two runs is parallelism.
   */
 object ScalingFork {
 
@@ -29,27 +43,51 @@ object ScalingFork {
     nSeries / ((System.nanoTime() - t0) / 1e9)
   }
 
+  /** (total, steal) jiffies across all cpus from /proc/stat. */
+  private def cpuStat(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (f.sum, if (f.length > 7) f(7) else 0L)
+      } finally src.close()
+    } catch { case _: Throwable => (0L, 0L) }
+
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val pagesDir = args(1)
     val reps = args(2).toInt
     val kernelSeries = args(3).toInt
+    val shuffleParts =
+      if (args.length > 4) args(4).toInt else math.max(cores * 2, 8)
+    val warmupDir = if (args.length > 5) args(5) else pagesDir
 
-    val spark = ScalingProbe.session(cores, math.max(cores * 2, 8))
+    val spark = ScalingProbe.session(cores, shuffleParts)
     try {
       // warmup: full pipeline once (JIT + codegen + parquet footer cache)
-      var points = ScalingProbe.pipeline(spark, pagesDir)
-      val pipelineSecs = (1 to reps).map { _ =>
+      ScalingProbe.pipeline(spark, warmupDir)
+      var points = 0L
+      val measured = (1 to reps).map { _ =>
+        val (tot0, st0) = cpuStat()
         val t0 = System.nanoTime()
         points = ScalingProbe.pipeline(spark, pagesDir)
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (tot1, st1) = cpuStat()
+        val steal =
+          if (tot1 > tot0) (st1 - st0).toDouble / (tot1 - tot0) else 0.0
+        (sec, steal)
       }
-      kernelRun(spark, math.min(kernelSeries, 32)) // warmup
-      val kernelSps = (1 to reps).map(_ => kernelRun(spark, kernelSeries))
-      val ps = pipelineSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+      val kernelSps =
+        if (kernelSeries <= 0) Seq.empty[Double]
+        else {
+          kernelRun(spark, kernelSeries) // full-size warmup (JIT needs it)
+          (1 to reps).map(_ => kernelRun(spark, kernelSeries))
+        }
+      val ps = measured.map(m => f"${m._1}%.3f").mkString("[", ",", "]")
+      val sf = measured.map(m => f"${m._2}%.4f").mkString("[", ",", "]")
       val ks = kernelSps.map(s => f"$s%.2f").mkString("[", ",", "]")
       println(s"""SCALING_RESULT {"cores":$cores,"points":$points,""" +
-        s""""pipeline_secs":$ps,"kernel_sps":$ks}""")
+        s""""pipeline_secs":$ps,"steal_frac":$sf,"kernel_sps":$ks}""")
     } finally spark.stop()
   }
 }

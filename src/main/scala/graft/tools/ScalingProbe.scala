@@ -18,7 +18,9 @@ object ScalingProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
       .config("spark.sql.files.maxPartitionBytes", "32m")
-      .config("spark.local.dir", sys.env.getOrElse("PROBE_LOCALDIR", "/tmp"))
+      .config("spark.local.dir", sys.env.getOrElse("PROBE_LOCALDIR",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-local"
+        else "/tmp"))
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -4,13 +4,20 @@ import graft.rollup._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+/** Per-stage wall-clock breakdown of the rollup pipeline (dev tool).
+  * PROBE_DIR selects the materialized pages table, PROBE_CORES a
+  * comma-separated list of local[k] levels (fresh session per level).
+  */
 object StageProbe {
   def main(args: Array[String]): Unit = {
-    val dir = "/tmp/probe_pages_500000"
-    for (cores <- Seq(4, 1)) {
+    val dir = sys.env.getOrElse("PROBE_DIR", "/tmp/probe_pages_500000")
+    val levels = sys.env.getOrElse("PROBE_CORES", "4,1")
+      .split(",").toSeq.map(_.trim.toInt)
+    for (cores <- levels) {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       val spark = SparkSession.builder().master(s"local[$cores]")
-        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.shuffle.partitions", math.max(cores * 2, 8).toString)
+        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false").getOrCreate()
