@@ -105,7 +105,7 @@ object Bench {
     // hi level too, or "scaling" just measures constant overhead;
     // r02 diagnosis: a 100k-page input made 8/32 cores look anti-scaling)
     val (nPagesBig, nPagesMid) = sfDir match {
-      case d if d.contains("sf0.1")  => (3000000L, 1200000L)
+      case d if d.contains("sf0.1")  => (3000000L, 1600000L)
       case d if d.contains("sf0.01") => (300000L, 150000L)
       case _                         => (30000L, 20000L)
     }

@@ -56,9 +56,14 @@ object ScalingProbe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val daily = Tiers.rollup(hourly, "hourly", "daily")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 3 actions, not one per tier: per-action plan/schedule overhead is
+    // constant-vs-input, so extra actions directly poison the N-vs-4N
+    // scaling signal at the hi level (weekly+flags share one job; both
+    // read the materialized daily cache)
+    val one = lit(1L).as("one")
     val pts = hourly.count() + daily.count() +
-      Tiers.rollup(daily, "daily", "weekly").count() +
-      Tiers.anomalyFlags(daily).count()
+      Tiers.rollup(daily, "daily", "weekly").select(one)
+        .unionAll(Tiers.anomalyFlags(daily).select(one)).count()
     series.unpersist(); hourly.unpersist(); daily.unpersist()
     pts
   }
