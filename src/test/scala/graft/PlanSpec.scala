@@ -69,6 +69,20 @@ class PlanSpec extends GraftSuite {
     assert(exec.contains("*("), "expected whole-stage codegen markers:\n" + exec.take(800))
   }
 
+  test("LSH dedup / ANN candidate plans never degenerate into cartesian joins") {
+    // every candidate generator must be a bucketed equi-join: a plan that
+    // falls back to CartesianProduct / BroadcastNestedLoopJoin is O(n^2)
+    // over the corpus and dies at 100 TB. (q_ann_bruteforce_topk is the
+    // documented bounded-Q exception and is excluded.)
+    for (q <- Seq("q_dedup_minhash_lsh", "q_dedup_simhash", "q_ann_lsh_topk",
+        "q_ann_ivf_topk", "q_dedup_embedding")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sfTiny))
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join")
+    }
+  }
+
   test("native SimHash64 expression runs inside a codegen'd projection") {
     // non-foldable input (range-derived) so the projection isn't
     // collapsed into a LocalTableScan at optimization time
