@@ -27,6 +27,20 @@ object Dedup {
       .filter(col("__bn") <= cap)
       .drop("__bn")
 
+  /** Recall-loss telemetry for [[capBuckets]]: one row
+    * (n_buckets, n_capped_buckets, n_dropped_rows) counting the buckets
+    * whose members a capped candidate generator silently drops. Run this
+    * on the same bucket table (e.g. [[lshBands]] output) whenever capped
+    * recall matters — the cap itself stays silent on the hot path, this
+    * makes the loss measurable instead of invisible (ADVICE r02).
+    */
+  def cappedBucketStats(df: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("__bn") > cap, 1L).otherwise(0L)).as("n_capped_buckets"),
+        sum(when(col("__bn") > cap, col("__bn")).otherwise(0L)).as("n_dropped_rows"))
+
   // ------------------------------------------------------------- exact
 
   /** exact duplicates by normalized-text fingerprint: returns
@@ -42,10 +56,11 @@ object Dedup {
   // ------------------------------------------------------ shingles
 
   /** distinct word n-gram shingles from an already-split words column.
-    * IMPORTANT: pass a real attribute (a column produced by a prior
-    * projection), not an inline split(...) expression — an expression
-    * argument gets inlined into the transform lambda and re-evaluated
-    * once PER SHINGLE (O(words²) per row; observed 10x+ slowdowns).
+    * IMPORTANT: pass a real attribute or lambda variable (see
+    * TextOps.bindOnce), not an inline split(...) expression — an
+    * expression argument gets inlined into the transform lambda and
+    * re-evaluated once PER SHINGLE (O(words²) per row; observed 10x+
+    * slowdowns).
     */
   def shinglesFromWords(words: Column, n: Int): Column = {
     val nWin = greatest(lit(1), size(words) - lit(n - 1))
@@ -53,12 +68,12 @@ object Dedup {
       i => array_join(slice(words, i + 1, lit(n)), " ")))
   }
 
-  /** distinct word n-gram shingles per document (convenience for small /
-    * cardinality-bounded inputs; hot paths should materialize the words
-    * array as a column and call shinglesFromWords — see note there)
+  /** distinct word n-gram shingles per document. Safe on hot paths: the
+    * split is bound once per row (TextOps.bindOnce), not re-evaluated
+    * per shingle.
     */
   def wordShingles(text: Column, n: Int = 3): Column =
-    shinglesFromWords(split(trim(text), "\\s+"), n)
+    TextOps.bindOnce(split(trim(text), "\\s+"))(w => shinglesFromWords(w, n))
 
   // ------------------------------------------------------------ minhash
 
@@ -103,12 +118,21 @@ object Dedup {
     * Shingles are hashed to longs (xxhash64) before the join — the same
     * Jaccard up to negligible collision probability, but the shuffle
     * ships 8 bytes per shingle instead of the full shingle text
-    * (VERDICT r01 #6).
+    * (VERDICT r01 #6). Only docs that actually appear in a candidate
+    * pair are shingled (left-semi join on the pair id set): at corpus
+    * scale the candidate set is a small fraction of the corpus, so the
+    * expensive shingling never runs on uninvolved documents
+    * (VERDICT r02 #2).
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3): DataFrame = {
+    val pairIds = pairs.select(col("id1").as("__id"))
+      .unionByName(pairs.select(col("id2").as("__id"))).distinct()
     val sh = docs.select(col(idCol).as("__id"),
-      transform(wordShingles(col(textCol), shingleN), s => xxhash64(s)).as("__sh"))
+        split(trim(col(textCol)), "\\s+").as("__w"))
+      .join(pairIds, Seq("__id"), "left_semi")
+      .select(col("__id"),
+        transform(shinglesFromWords(col("__w"), shingleN), s => xxhash64(s)).as("__sh"))
     pairs
       .join(sh.select(col("__id").as("id1"), col("__sh").as("sh1")), Seq("id1"))
       .join(sh.select(col("__id").as("id2"), col("__sh").as("sh2")), Seq("id2"))

@@ -162,17 +162,22 @@ object RollupQueries {
       // Welford state) run in batch mode over the hourly tier, checked
       // against the closed-form prefix-window SQL ("state before the
       // point" == aggregates over ROWS UNBOUNDED PRECEDING..1 PRECEDING).
-      // Bucket avgs rounded to 9 dp pre-kernel for cross-engine bit-
-      // identity; z rounded to 6 dp (Welford vs two-pass last-ulp drift).
+      // Bucket avgs are DYADIC-quantized (floor(v*2^14+0.5)/2^14, exact
+      // in binary FP) pre-kernel so both engines hold identical doubles,
+      // and the |z| > 4 gate compares the dyadic-quantized z (cell 2^-10,
+      // ~9 orders above the Welford-vs-two-pass drift) in both engines —
+      // the same scheme as q_ts_features, replacing decimal rounding
+      // whose half-boundaries drift across engines (ADVICE r02).
       "q_stream_anomaly",
       (s, d) => {
         import s.implicits._
         val hourly = Tiers.hourly(eventSeries(s, d), "series_id", "hour_rank", "value")
         val pts = Tiers.withDerived(hourly)
           .select(col("series_id"), col("bucket"),
-            round(col("avg"), 9).as("value"))
+            (floor(col("avg") * 16384 + 0.5) / 16384).as("value"))
           .as[graft.streaming.StreamingAnomaly.PointIn]
-        graft.streaming.StreamingAnomaly.detect(pts, minN = 5, zThreshold = 4.0)
+        graft.streaming.StreamingAnomaly.detect(pts, minN = 5, zThreshold = 4.0,
+          zGrid = 1024L)
           .toDF()
           .select(col("series_id"), col("bucket"),
             round(col("value"), 6).as("value"),
@@ -181,7 +186,7 @@ object RollupQueries {
       Some(s"""WITH es AS ($eventSeriesSql),
               |hourly AS (
               |  SELECT series_id, hour_rank AS bucket,
-              |    round(sum(value) / count(value), 9) AS value
+              |    floor(sum(value) / count(value) * 16384 + 0.5) / 16384 AS value
               |  FROM es GROUP BY 1, 2),
               |scr AS (
               |  SELECT series_id, bucket, value,
@@ -190,28 +195,33 @@ object RollupQueries {
               |    stddev_samp(value) OVER w AS sd_prev
               |  FROM hourly
               |  WINDOW w AS (PARTITION BY series_id ORDER BY bucket
-              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+              |zq AS (
+              |  SELECT series_id, bucket, value, n_prev, sd_prev,
+              |    floor((value - mean_prev) / sd_prev * 1024 + 0.5) / 1024 AS z
+              |  FROM scr)
               |SELECT series_id, bucket, round(value, 6) AS value,
-              |  round((value - mean_prev) / sd_prev, 6) AS z,
+              |  round(z, 6) AS z,
               |  n_prev AS n_seen
-              |FROM scr
-              |WHERE n_prev >= 5 AND sd_prev > 0
-              |  AND abs((value - mean_prev) / sd_prev) > 4.0""".stripMargin)
+              |FROM zq
+              |WHERE n_prev >= 5 AND sd_prev > 0 AND abs(z) > 4.0""".stripMargin)
     ),
     Q(
       // per-series anomaly screen over the daily tier vs the same
       // windowed-aggregate pipeline in closed-form DuckDB SQL. The daily
-      // state is rounded BEFORE the screen so per-bucket avgs are
-      // bit-identical across engines (countDistinct over computed
-      // doubles is fp-summation-order-sensitive otherwise — same fix as
-      // q_ts_features); stats rounded to 6 dp, flags cast to int.
+      // state is DYADIC-quantized (floor(v*2^14+0.5)/2^14) BEFORE the
+      // screen so per-bucket avgs are bit-identical across engines
+      // (decimal rounding has engine-divergent half-boundaries — same
+      // fix as q_ts_features, ADVICE r02), and the autocorr/spike
+      // threshold compares run on dyadic-quantized stats (flagGrid) in
+      // both engines; stats rounded to 6 dp for display, flags as int.
       "q_tier_anomaly_flags",
       (s, d) => {
         val hourly = Tiers.hourly(eventSeries(s, d), "series_id", "hour_rank", "value")
         val daily = Tiers.rollup(hourly, "hourly", "daily")
-          .withColumn("sum", round(col("sum"), 9))
-          .withColumn("sumsq", round(col("sumsq"), 6))
-        Tiers.anomalyFlags(daily).select(
+          .withColumn("sum", floor(col("sum") * 16384 + 0.5) / 16384)
+          .withColumn("sumsq", floor(col("sumsq") * 16384 + 0.5) / 16384)
+        Tiers.anomalyFlags(daily, flagGrid = 1024L).select(
           col("series_id"), col("n_buckets"),
           round(col("autocorr"), 6).as("autocorr"),
           round(col("sd_of_diffs"), 6).as("sd_of_diffs"),
@@ -230,7 +240,7 @@ object RollupQueries {
               |  FROM es GROUP BY 1, 2),
               |daily AS (
               |  SELECT series_id, CAST(floor(bucket / 24) AS BIGINT) AS bucket,
-              |    sum(n) AS n, round(sum(s), 9) AS s
+              |    sum(n) AS n, floor(sum(s) * 16384 + 0.5) / 16384 AS s
               |  FROM hourly GROUP BY 1, 2),
               |t AS (SELECT series_id, bucket, s / n AS avg FROM daily),
               |lagged AS (
@@ -259,10 +269,12 @@ object RollupQueries {
               |  round(series_mean, 6) AS series_mean,
               |  round(series_sd, 6) AS series_sd,
               |  CAST(n_buckets >= 5 AND uniq_share <= 0.2 AS INT) AS flag_repeated_values,
-              |  CAST(autocorr IS NOT NULL AND autocorr < -0.8 AND n_buckets >= 5 AS INT)
-              |    AS flag_zigzag,
+              |  CAST(autocorr IS NOT NULL
+              |    AND floor(autocorr * 1024 + 0.5) / 1024 < -0.8
+              |    AND n_buckets >= 5 AS INT) AS flag_zigzag,
               |  CAST(series_sd IS NOT NULL AND series_sd > 0
-              |    AND (series_max - series_mean) / series_sd > 4.0 AS INT) AS flag_spike,
+              |    AND floor((series_max - series_mean) / series_sd * 1024 + 0.5) / 1024
+              |      > 4.0 AS INT) AS flag_spike,
               |  CAST(series_sd IS NOT NULL AND series_sd = 0 AND n_buckets >= 5 AS INT)
               |    AS flag_flat
               |FROM fin""".stripMargin)

@@ -62,8 +62,18 @@ object Tiers {
     * lag-1 autocorrelation, sd of first differences, relative unique
     * count, range z-score spikes. Thresholds are fixed and deterministic
     * so flags are comparable across tiers.
+    *
+    * `flagGrid` > 0 quantizes the continuous statistics feeding a
+    * threshold compare (autocorr, the spike z-ratio) to the dyadic grid
+    * k/flagGrid — floor(x*g + 0.5)/g, exact in binary FP — before the
+    * compare. fp-summation-order drift in the aggregates (~1e-12) is
+    * then 9+ orders of magnitude below the cell size, so the flag set is
+    * reproducible across engines/partitionings instead of cliff-edged on
+    * the last ulp (ADVICE r02). 0 = compare raw values.
     */
-  def anomalyFlags(tier: DataFrame): DataFrame = {
+  def anomalyFlags(tier: DataFrame, flagGrid: Long = 0L): DataFrame = {
+    def q(c: Column): Column =
+      if (flagGrid > 0) floor(c * flagGrid + lit(0.5)) / flagGrid else c
     val t = withDerived(tier)
     val w = Window.partitionBy("series_id").orderBy("bucket")
     // lag-1 in TIME: a pair only counts when the previous observed bucket
@@ -92,10 +102,10 @@ object Tiers {
       .withColumn("flag_repeated_values",
         col("n_buckets") >= 5 && col("uniq_share") <= 0.2)
       .withColumn("flag_zigzag",
-        col("autocorr").isNotNull && col("autocorr") < -0.8 && col("n_buckets") >= 5)
+        col("autocorr").isNotNull && q(col("autocorr")) < -0.8 && col("n_buckets") >= 5)
       .withColumn("flag_spike",
         col("series_sd").isNotNull && col("series_sd") > 0 &&
-          ((col("series_max") - col("series_mean")) / col("series_sd")) > 4.0)
+          q((col("series_max") - col("series_mean")) / col("series_sd")) > 4.0)
       .withColumn("flag_flat",
         col("series_sd").isNotNull && col("series_sd") === 0.0 && col("n_buckets") >= 5)
     perSeries.select(

@@ -31,9 +31,19 @@ object StreamingAnomaly {
     * have been absorbed). Works identically on a batch Dataset (state
     * lives for the single batch) and a streaming one (state persists
     * across micro-batches in the state store).
+    *
+    * `zGrid` > 0 quantizes z to the dyadic grid k/zGrid
+    * (floor(z*g + 0.5)/g, exact in binary FP) before the threshold
+    * compare AND in the emitted row, so the anomaly set survives
+    * last-ulp drift between this incremental Welford state and any
+    * two-pass recomputation (cross-engine oracle, replica reconciliation
+    * — ADVICE r02): the ~1e-12 algorithmic drift is far below the cell
+    * size, so both computations land in the same cell.
     */
-  def detect(points: Dataset[PointIn], minN: Int = 5, zThreshold: Double = 4.0)
-      : Dataset[AnomalyOut] = {
+  def detect(points: Dataset[PointIn], minN: Int = 5, zThreshold: Double = 4.0,
+      zGrid: Long = 0L): Dataset[AnomalyOut] = {
+    def qz(z: Double): Double =
+      if (zGrid > 0) math.floor(z * zGrid + 0.5) / zGrid else z
     implicit val stEnc = Encoders.product[SeriesState]
     implicit val outEnc = Encoders.product[AnomalyOut]
     points
@@ -46,7 +56,7 @@ object StreamingAnomaly {
             if (st.n >= minN && st.n > 1) {
               val sd = math.sqrt(st.m2 / (st.n - 1))
               if (sd > 0) {
-                val z = (p.value - st.mean) / sd
+                val z = qz((p.value - st.mean) / sd)
                 if (math.abs(z) > zThreshold)
                   out += AnomalyOut(sid, p.bucket, p.value, z, st.n)
               }

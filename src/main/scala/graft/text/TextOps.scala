@@ -10,6 +10,18 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Evaluate `e` ONCE per row even when `f` consumes it inside a
+    * higher-order-function lambda. HOF *arguments* are evaluated once per
+    * row; only lambda *bodies* re-run per element — so an expression like
+    * split(...) passed textually into a transform lambda is re-evaluated
+    * once PER ELEMENT (O(n²) per row for shingling; observed 10x+
+    * slowdowns). Binding `e` as the single element of an outer
+    * transform's argument makes it a lambda variable in `f`, evaluated
+    * exactly once per row regardless of how many times `f` references it.
+    */
+  private[graft] def bindOnce(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), x => f(x)), 1)
+
   /** whitespace-token count */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
@@ -25,11 +37,10 @@ object TextOps {
     words + punct + greatest(lit(0), longWordExtra.cast("int"))
   }
 
-  private val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with"),
-    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "nicht"),
-    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans"),
-    "es" -> Seq("el", "los", "las", "es", "una", "por", "con", "para"))
+  /** single source of truth for the stopword lists: the native LangId
+    * expression (the 4 regex alternations below are built from it).
+    */
+  private val stopwords: Map[String, Seq[String]] = graft.functions.LangId.stopwords
 
   /** per-language stopword hit count (word-boundary matches) */
   def stopwordHits(text: Column, lang: String): Column = {
@@ -38,9 +49,15 @@ object TextOps {
   }
 
   /** n-gram/stopword heuristic language-ID: argmax of per-language
-    * stopword hits, "und" (unknown) when nothing matches.
+    * stopword hits, "und" (unknown) when nothing matches. Single text
+    * pass via the native expression (graft.functions.LangId) — the
+    * previous form ran one regexp_count pass per language; semantics are
+    * identical (TextOpsSpec cross-checks against [[langIdMultiPass]]).
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = graft.functions.LangId(text)
+
+  /** the 4-regex-pass reference form of [[langId]] (spec cross-check) */
+  private[graft] def langIdMultiPass(text: Column): Column = {
     val scored = stopwords.keys.toSeq.sorted.map(l => struct(stopwordHits(text, l).as("hits"),
       lit(l).as("lang")))
     val best = greatest(scored: _*)
@@ -69,13 +86,19 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** rolling/content-defined fingerprint: xxhash64 of every k-word
-    * window, min-sampled — robust to small edits at the ends.
+  /** rolling/content-defined fingerprints from an already-split words
+    * column (an attribute or lambda variable — see [[bindOnce]]).
     */
-  def windowFingerprints(text: Column, k: Int = 8): Column = {
-    val words = split(trim(text), "\\s+")
+  def windowFingerprintsFromWords(words: Column, k: Int): Column = {
     val nWin = greatest(lit(1), size(words) - lit(k - 1))
     transform(sequence(lit(0), nWin - 1),
       i => xxhash64(array_join(slice(words, i + 1, lit(k)), " ")))
   }
+
+  /** rolling/content-defined fingerprint: xxhash64 of every k-word
+    * window — robust to small edits at the ends. The split runs once per
+    * row ([[bindOnce]]), not once per window.
+    */
+  def windowFingerprints(text: Column, k: Int = 8): Column =
+    bindOnce(split(trim(text), "\\s+"))(w => windowFingerprintsFromWords(w, k))
 }

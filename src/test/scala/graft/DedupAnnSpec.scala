@@ -153,6 +153,14 @@ class AnnSpec extends GraftSuite {
       maxHamming = 10, shingleN = 2, maxBucket = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!simCapped.exists(p => p._1 < 60 && p._2 < 60), s"simhash: $simCapped")
+    // the recall loss is measurable, not invisible (ADVICE r02): the
+    // stats row counts the degenerate buckets and their dropped members
+    val bands = Dedup.lshBands(docs, "doc_id", "text", bands = 4, rowsPerBand = 4,
+      shingleN = 2)
+    val st = Dedup.cappedBucketStats(bands, Seq("band", "band_hash"), 10).collect()(0)
+    assert(st.getAs[Long]("n_capped_buckets") >= 4,
+      s"60 identical docs should overflow every band bucket: $st")
+    assert(st.getAs[Long]("n_dropped_rows") >= 4 * 60)
   }
 }
 
@@ -174,6 +182,31 @@ class TextOpsSpec extends GraftSuite {
       "xyzzy qwerty asdf").toDF("text")
       .select(TextOps.langId(col("text")).as("lang"))
     assert(df.collect().map(_.getString(0)).toSeq === Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("native single-pass langId matches the 4-regex-pass form exactly") {
+    // adversarial shapes: ties between languages (resolved to the
+    // lexicographically greatest code), stopwords embedded in longer
+    // word runs (no \b match), digits/underscores fusing word runs,
+    // multibyte chars as token boundaries, empty/blank strings
+    val texts = Seq(
+      "the cat und der hund",            // en=1? the; de: und,der=2
+      "la et le und der",                // fr 3 vs de 2
+      "es est",                          // es 1, fr 1 -> tie -> fr
+      "the theand and_x _and and",       // embedded/fused runs
+      "thééand et la",              // multibyte boundaries
+      "DAS IST VON",                     // case folding via lower()
+      "in2 in 2in in_",                  // digits fuse runs
+      "", "   ", "\t\n",
+      "von13der von der13 von_der",
+      "lalala la la",                    // repeated token counts twice
+      "xyzzy qwerty")
+    val df = texts.toDF("text").select(
+      TextOps.langId(col("text")).as("fast"),
+      TextOps.langIdMultiPass(col("text")).as("ref"))
+    df.collect().zip(texts).foreach { case (r, t) =>
+      assert(r.getString(0) === r.getString(1), s"divergence on '$t'")
+    }
   }
 
   test("fingerprint is whitespace/case-insensitive but content-sensitive") {
