@@ -17,6 +17,41 @@ object DedupAnnQueries {
     T.embeddings(s, d)
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
 
+  /** 10 deterministic near-neighbor queries for the ANN recall oracles:
+    * q_i = v_i + 0.08·v_{i+100}, re-identified as id+10000 so the source
+    * vector v_i stays an eligible (non-self) neighbor with cos ≈ 0.997.
+    */
+  private def annRecallQueries(c: org.apache.spark.sql.DataFrame) = {
+    val base = c.filter(col("id") < 10)
+    val partner = c.filter(col("id") >= 100 && col("id") < 110)
+      .select((col("id") - 100).as("id"), col("vec").as("pv"))
+    base.join(partner, Seq("id"))
+      .select((col("id") + 10000L).as("id"),
+        zip_with(col("vec"), col("pv"), (x, y) => x + lit(0.08) * y).as("vec"))
+  }
+
+  /** brute-force top-1 for the mixed queries with the found flag pinned
+    * to 1 (the recall assertion, same elementwise mix arithmetic).
+    */
+  private val annRecallOracleSql =
+    """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+      |          FROM embeddings),
+      |q AS (
+      |  SELECT b.id + 10000 AS id,
+      |    list_transform(range(1, len(b.vec) + 1),
+      |      i -> b.vec[i] + 0.08 * p.vec[i]) AS vec
+      |  FROM e b JOIN e p ON p.id = b.id + 100
+      |  WHERE b.id < 10)
+      |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+      |  1 AS found_by_lsh
+      |FROM (
+      |  SELECT q.id AS query_id, c.id AS neighbor_id,
+      |    list_cosine_similarity(q.vec, c.vec) AS cosine,
+      |    row_number() OVER (PARTITION BY q.id
+      |      ORDER BY list_cosine_similarity(q.vec, c.vec) DESC, c.id) AS rank
+      |  FROM q CROSS JOIN e c)
+      |WHERE rank <= 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       // exact dedup accounting by normalized fingerprint
@@ -140,6 +175,94 @@ object DedupAnnQueries {
         Ann.ivfTopK(c.filter(col("id") < 10), c, 3, nCells = 8, nprobe = 3)
       },
       None
+    ),
+    Q(
+      // MinHash-LSH RECALL against ground truth, oracle-checked
+      // (VERDICT r02 "Next round" #3): the output is every brute-force
+      // 3-gram-Jaccard ≥ 0.9 pair of the bounded doc set, annotated
+      // found_by_lsh / in_true. The DuckDB oracle computes the same
+      // ground-truth pairs and pins found_by_lsh = 1 for ALL of them —
+      // i.e. the capped, banded, hashed-verify LSH path must achieve
+      // recall 1.0 here (16 bands × 2 rows: miss prob ≤ (1-0.81)^16 ≈
+      // 3e-12 per pair) — while the full-outer join surfaces any LSH
+      // false positive as an extra row (row-count mismatch).
+      "q_dedup_minhash_recall",
+      (s, d) => {
+        val docs = T.documents(s, d).filter(col("doc_id") < 500)
+        val lsh = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.9,
+          bands = 16, rowsPerBand = 2, shingleN = 3)
+          .select(col("id1"), col("id2"), lit(1).as("found_by_lsh"))
+        val sh = docs
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__w"))
+          .select(col("doc_id"), Dedup.shinglesFromWords(col("__w"), 3).as("sh"))
+        val l = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+        val r = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+        val truePairs = l.join(r, col("id1") < col("id2"))
+          .withColumn("jaccard",
+            size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+              size(array_union(col("sh1"), col("sh2"))).cast("double"))
+          .filter(col("jaccard") >= 0.9)
+          .select(col("id1"), col("id2"),
+            round(col("jaccard"), 6).as("jaccard"), lit(1).as("in_true"))
+        truePairs.join(lsh, Seq("id1", "id2"), "full_outer")
+          .select(col("id1"), col("id2"), col("jaccard"),
+            coalesce(col("in_true"), lit(0)).as("in_true"),
+            coalesce(col("found_by_lsh"), lit(0)).as("found_by_lsh"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(1, len(regexp_split_to_array(trim(text), '\s+')) - 2) + 1),
+             |    i -> array_to_string((regexp_split_to_array(trim(text), '\s+'))[i:i+2], ' ')))
+             |    AS sh
+             |  FROM documents WHERE doc_id < 500)
+             |SELECT l.doc_id AS id1, r.doc_id AS id2,
+             |  round(len(list_intersect(l.sh, r.sh)) * 1.0 /
+             |        len(list_distinct(list_concat(l.sh, r.sh))), 6) AS jaccard,
+             |  1 AS in_true, 1 AS found_by_lsh
+             |FROM docs l JOIN docs r ON l.doc_id < r.doc_id
+             |WHERE len(list_intersect(l.sh, r.sh)) * 1.0 /
+             |      len(list_distinct(list_concat(l.sh, r.sh))) >= 0.9""".stripMargin)
+    ),
+    Q(
+      // hyperplane-LSH ANN RECALL, oracle-checked: 10 query vectors are
+      // deterministic mixes q_i = v_i + 0.08·v_{i+100} (cos(q_i, v_i) ≈
+      // 0.997), re-identified with fresh ids; the output is the exact
+      // brute-force top-1 row per query (DuckDB-checkable) annotated
+      // found_by_lsh, and the oracle pins found_by_lsh = 1: the 8-table
+      // 6-plane LSH path must find the true nearest neighbor for every
+      // query (per-query miss prob ≈ 1.3e-7).
+      "q_ann_lsh_recall",
+      (s, d) => {
+        val c = embs(s, d)
+        val queries = annRecallQueries(c)
+        val bf = Ann.bruteForceTopK(queries, c, 1)
+        val lsh = Ann.lshTopK(queries, c, 1, planes = 6, dim = 64, tables = 8)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("found_by_lsh"))
+        bf.join(lsh, Seq("query_id", "neighbor_id"), "left")
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"),
+            coalesce(col("found_by_lsh"), lit(0)).as("found_by_lsh"))
+      },
+      Some(annRecallOracleSql)
+    ),
+    Q(
+      // IVF ANN RECALL over data-derived k-means centroids (16 cells,
+      // nprobe 4), oracle-checked the same way: brute-force top-1 per
+      // mixed query with found_by_ivf pinned to 1 — the cell-probed
+      // search must find every true neighbor.
+      "q_ann_ivf_recall",
+      (s, d) => {
+        val c = embs(s, d)
+        val queries = annRecallQueries(c)
+        val bf = Ann.bruteForceTopK(queries, c, 1)
+        val ivf = Ann.ivfTopK(queries, c, 1, nCells = 16, dim = 64, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("found_by_ivf"))
+        bf.join(ivf, Seq("query_id", "neighbor_id"), "left")
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"),
+            coalesce(col("found_by_ivf"), lit(0)).as("found_by_ivf"))
+      },
+      Some(annRecallOracleSql.replace("found_by_lsh", "found_by_ivf"))
     ),
     Q(
       // embedding norms / label profile — oracle via list_dot_product
