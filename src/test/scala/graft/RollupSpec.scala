@@ -249,4 +249,61 @@ class SnapshotStoreSpec extends GraftSuite {
     val b = TierBuilder.readHourly(spark, root2).orderBy("series_id", "bucket").collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  test("coarse tiers: resumable daily/weekly builds with their own manifests") {
+    val pagesDir = java.nio.file.Files.createTempDirectory("coarsepages").toString
+    TierBuilder.writePagesByDay(
+      CrawlSynth.pages(spark, 3000, nHosts = 20, numPartitions = 4), pagesDir)
+    val pages = spark.read.parquet(pagesDir)
+    val root = java.nio.file.Files.createTempDirectory("coarsebuild").toString
+    TierBuilder.buildHourly(spark, pages, root, resume = false)
+
+    // crash after the first per-partition daily job, then resume
+    val crashed = intercept[RuntimeException] {
+      TierBuilder.buildCoarse(spark, root, "daily",
+        failAfter = 1, partitionsPerJob = 1)
+    }
+    assert(crashed.getMessage.contains("injected failure"))
+    val afterCrash = new SnapshotStore(s"$root/tier_daily").committedPartitions()
+    assert(afterCrash.size === 1, s"expected 1 committed daily, got $afterCrash")
+    val resumed = TierBuilder.buildCoarse(spark, root, "daily")
+    assert(resumed.skippedPartitions.size === 1,
+      s"resume must skip the committed partition: $resumed")
+    assert(resumed.builtPartitions.nonEmpty)
+
+    // a second resume is a no-op (source-day lineage unchanged)
+    val noop = TierBuilder.buildCoarse(spark, root, "daily")
+    assert(noop.builtPartitions.isEmpty && noop.totalPoints === 0)
+
+    // weekly builds from the same hourly store, own manifest
+    val weekly = TierBuilder.buildCoarse(spark, root, "weekly")
+    assert(weekly.builtPartitions.nonEmpty)
+
+    // committed coarse tiers equal a direct re-aggregation of the hourly
+    val hourly = TierBuilder.readHourly(spark, root)
+    val dailyDirect = Tiers.rollup(hourly, "hourly", "daily")
+      .orderBy("series_id", "bucket").collect()
+    val dailyStored = TierBuilder.readCoarse(spark, root, "daily")
+      .orderBy("series_id", "bucket").collect()
+    assert(dailyStored.toSeq === dailyDirect.toSeq)
+    val weeklyDirect = Tiers.rollup(hourly, "hourly", "weekly")
+      .orderBy("series_id", "bucket").collect()
+    val weeklyStored = TierBuilder.readCoarse(spark, root, "weekly")
+      .orderBy("series_id", "bucket").collect()
+    assert(weeklyStored.toSeq === weeklyDirect.toSeq)
+
+    // staleness: a NEW hourly day commit makes its coarse partitions
+    // rebuild (and only those)
+    val extraDay = new SnapshotStore(root)
+    val fakeDay = "2030-01-01"
+    extraDay.commit(Seq(extraDay.PartitionEntry(s"day=$fakeDay", 0,
+      Map("points" -> "0"), "test")))
+    // write an empty data partition so the pruned scan finds the dir
+    hourly.limit(0).withColumn("day", org.apache.spark.sql.functions.lit(fakeDay))
+      .write.partitionBy("day").option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$root/data")
+    val afterNewDay = TierBuilder.buildCoarse(spark, root, "daily")
+    assert(afterNewDay.builtPartitions === Seq(s"day=$fakeDay"),
+      s"only the new day's partition should rebuild: $afterNewDay")
+  }
 }
