@@ -75,13 +75,31 @@ object MixedEffects {
   }
 
   /** one (series, feature, ref_group) group: nested random-intercept fit
-    * + seeded posterior simulation; emits one row per entity at every
+    * by EM-REML on the Henderson mixed-model equations (exact REML at
+    * convergence — VERDICT r02 "Next round" #4: the previous sequential
+    * per-level moment fit equalled REML only on balanced designs) +
+    * seeded posterior simulation; emits one row per entity at every
     * active level (site always; country/region as in the reference's
     * degradation ladder).
+    *
+    * Model: y = 1μ + Σ_l Z_l u_l + e, u_l ~ N(0, σ_l² I), e ~ N(0, σe² I)
+    * (lmer `value ~ (1|region/country/site)` — R/ctas.R:1223-1235).
+    * EM-REML (Harville 1977; Searle/Casella/McCulloch §8): with
+    * M = W'W + diag(0, λ_1 I, …), λ_l = σe²/σ_l², C = M⁻¹, s = C W'y,
+    *   σ_l² ← (û_l'û_l + σe² tr C_ll) / q_l
+    *   σe²  ← (y'y − s'W'y) / (n − 1)
+    * Per-entity posterior for the sims: BLUP û_i and conditional sd
+    * √(σe²·[(Z'Z + diag λ)⁻¹]_ii) — lme4's condVar convention (fixed
+    * effects held at their estimates), which on balanced one-way reduces
+    * to the closed form √(shrink·σe²/r) pinned by MixedEffectsSpec.
+    * Group sizes are kernel-bounded, so the dense O(m³) solves
+    * (m = 1 + Σ q_l, sites+countries+regions) stay executor-local and
+    * tiny relative to the group's data.
     */
   private def kernel(ts: String, feature: String,
       rowsIn: Array[MeIn]): Iterator[MeOut] = {
     val rows = rowsIn.sortBy(_.subject_id)
+    val n = rows.length
     val nCountry = rows.map(_.country).distinct.length
     val nRegion = rows.map(_.region).distinct.length
 
@@ -95,44 +113,105 @@ object MixedEffects {
           "mixed-effects model undefined for 1 country with >1 regions " +
             "(reference has no branch, R/ctas.R:1223-1235)")
 
-    val mu = rows.map(_.value).sum / rows.length
-    // mutable Array written in place (updated() would copy the whole
-    // array per element -> quadratic per group at crawl-series sizes)
-    val residual: Array[Double] = rows.map(r => r.value - mu)
+    val y = rows.map(_.value)
 
-    // within-group (error) variance estimate from the finest level
+    // per-level group names (sorted, deterministic) and row assignments
+    val levelNames: Seq[Array[String]] =
+      levels.map(f => rows.map(f).distinct.sorted)
+    val levelIdx: Seq[Array[Int]] = levels.zip(levelNames).map { case (f, names) =>
+      val lookup = names.zipWithIndex.toMap
+      rows.map(r => lookup(f(r)))
+    }
+    val q = levelNames.map(_.length)
+    val m = 1 + q.sum
+    val offs = q.scanLeft(1)(_ + _) // column offset of each level block
+
+    // W'W and W'y from 1+L-sparse rows (W = [1 | Z_1 | … | Z_L])
+    val wtw = Array.ofDim[Double](m, m)
+    val wty = new Array[Double](m)
+    var yty = 0.0
+    var i = 0
+    while (i < n) {
+      val cols = Array(0) ++ levels.indices.map(l => offs(l) + levelIdx(l)(i))
+      var a = 0
+      while (a < cols.length) {
+        wty(cols(a)) += y(i)
+        var b = 0
+        while (b < cols.length) { wtw(cols(a))(cols(b)) += 1.0; b += 1 }
+        a += 1
+      }
+      yty += y(i) * y(i)
+      i += 1
+    }
+
+    // initial estimates: pooled within-finest-level variance for σe²,
+    // method-of-moments level variances floored away from the EM's
+    // absorbing zero
     def variance(xs: Seq[Double]): Double = {
       if (xs.length < 2) return 0.0
-      val m = xs.sum / xs.length
-      xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+      val mn = xs.sum / xs.length
+      xs.map(x => (x - mn) * (x - mn)).sum / (xs.length - 1)
     }
-    val bySite = rows.indices.groupBy(i => rows(i).site)
-    val sigmaE2 = {
-      val pooled = bySite.values.filter(_.length > 1).toSeq
-      if (pooled.isEmpty) variance(residual.toSeq)
-      else {
-        val ssw = pooled.map(idx => variance(idx.map(residual)) * (idx.length - 1)).sum
-        val dfw = pooled.map(_.length - 1).sum
-        if (dfw > 0) ssw / dfw else variance(residual.toSeq)
+    val mu0 = y.sum / n
+    var sigmaE2 = {
+      val fin = levelIdx.last
+      val groups = y.indices.groupBy(fin).values.filter(_.length > 1).toSeq
+      val dfw = groups.map(_.length - 1).sum
+      val pooled =
+        if (dfw > 0) groups.map(g => variance(g.map(y)) * (g.length - 1)).sum / dfw
+        else variance(y.toSeq)
+      math.max(pooled, 1e-12)
+    }
+    val sigmaL2: Array[Double] = levels.indices.map { l =>
+      val means = y.indices.groupBy(levelIdx(l)).values
+        .map(g => g.map(y).sum / g.length).toSeq
+      math.max(variance(means), 1e-3 * sigmaE2)
+    }.toArray
+
+    // EM-REML iterations on the MME
+    val maxIter = if (n >= 3) 500 else 1
+    var s: Array[Double] = null
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val mat = Array.tabulate(m, m)((a, b) => wtw(a)(b))
+      levels.indices.foreach { l =>
+        val lambda = sigmaE2 / math.max(sigmaL2(l), sigmaE2 * 1e-12)
+        (offs(l) until offs(l) + q(l)).foreach(d => mat(d)(d) += lambda)
       }
+      val c = Stats.invertInPlace(mat)
+      s = Array.tabulate(m)(a => (0 until m).map(b => c(a)(b) * wty(b)).sum)
+      val sWty = (0 until m).map(a => s(a) * wty(a)).sum
+      val newE2 = math.max((yty - sWty) / math.max(n - 1, 1), 1e-12)
+      var maxRel = math.abs(newE2 - sigmaE2) / sigmaE2
+      levels.indices.foreach { l =>
+        val uu = (offs(l) until offs(l) + q(l)).map(d => s(d) * s(d)).sum
+        val trC = (offs(l) until offs(l) + q(l)).map(d => c(d)(d)).sum
+        val nw = math.max((uu + sigmaE2 * trC) / q(l), 1e-15)
+        maxRel = math.max(maxRel, math.abs(nw - sigmaL2(l)) / math.max(sigmaL2(l), 1e-300))
+        sigmaL2(l) = nw
+      }
+      sigmaE2 = newE2
+      converged = maxRel < 1e-10
+      it += 1
     }
+
+    // conditional posterior variances (fixed effects at their estimates):
+    // σe² · (Z'Z + diag λ)⁻¹ over the random-effect block only
+    val zDim = m - 1
+    val zMat = Array.tabulate(zDim, zDim)((a, b) => wtw(a + 1)(b + 1))
+    levels.indices.foreach { l =>
+      val lambda = sigmaE2 / math.max(sigmaL2(l), sigmaE2 * 1e-12)
+      (offs(l) - 1 until offs(l) - 1 + q(l)).foreach(d => zMat(d)(d) += lambda)
+    }
+    val zInv = Stats.invertInPlace(zMat)
 
     val out = collection.mutable.ArrayBuffer.empty[MeOut]
-
-    levels.foreach { levelOf =>
-      val groups = rows.indices.groupBy(i => levelOf(rows(i)))
-      val means = groups.map { case (g, idx) => g -> idx.map(residual).sum / idx.length }
-      val sampleNoise = groups.map { case (g, idx) =>
-        g -> (if (sigmaE2 > 0) sigmaE2 / idx.length else 0.0)
-      }
-      // level variance: var of group means minus mean sampling noise
-      val levelVar = math.max(0.0,
-        variance(means.values.toSeq) - sampleNoise.values.sum / sampleNoise.size)
-      groups.foreach { case (g, idx) =>
-        val noise = sampleNoise(g)
-        val shrink = if (levelVar + noise > 0) levelVar / (levelVar + noise) else 0.0
-        val blup = shrink * means(g)
-        val postSd = math.sqrt(math.max(1e-12, shrink * noise))
+    levels.indices.foreach { l =>
+      levelNames(l).zipWithIndex.foreach { case (g, gi) =>
+        val colIdx = offs(l) + gi
+        val blup = if (s != null) s(colIdx) else 0.0
+        val postSd = math.sqrt(math.max(1e-12, sigmaE2 * zInv(colIdx - 1)(colIdx - 1)))
         // seeded posterior simulation (REsim analogue, deterministic)
         val seed = Stats.hash64(s"$ts|$feature|$g|mixedeffects")
         val rng = new java.util.SplittableRandom(seed)
@@ -144,8 +223,6 @@ object MixedEffects {
         // z/p tail (R/ctas.R:236-237); sd == 0 -> z undefined -> p = 1
         val p = if (sd > 0) 1.0 - Stats.pnorm(math.abs(median / sd)) else 1.0
         out += MeOut(ts, feature, g, simMean, median, sd, p)
-        // subtract fitted effect before the next (finer) level
-        idx.foreach(i => residual(i) -= blup)
       }
     }
     out.iterator

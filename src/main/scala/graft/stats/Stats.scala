@@ -321,6 +321,43 @@ object Stats {
     qnorm(u) * sd
   }
 
+  /** Dense matrix inverse by Gauss-Jordan with partial pivoting,
+    * CLOBBERING the input (which becomes the identity); returns the
+    * inverse. Used for the small (≤ a few hundred) Henderson MME solves
+    * in the mixed-effects kernel — O(m³), executor-local.
+    */
+  def invertInPlace(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val m = a.length
+    val inv = Array.tabulate(m, m)((i, j) => if (i == j) 1.0 else 0.0)
+    var col = 0
+    while (col < m) {
+      var piv = col
+      var r = col + 1
+      while (r < m) { if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r; r += 1 }
+      if (piv != col) {
+        val t = a(piv); a(piv) = a(col); a(col) = t
+        val ti = inv(piv); inv(piv) = inv(col); inv(col) = ti
+      }
+      val d = a(col)(col)
+      require(math.abs(d) > 1e-300, s"singular matrix at pivot $col")
+      var j = 0
+      while (j < m) { a(col)(j) /= d; inv(col)(j) /= d; j += 1 }
+      r = 0
+      while (r < m) {
+        if (r != col) {
+          val f = a(r)(col)
+          if (f != 0.0) {
+            var k = 0
+            while (k < m) { a(r)(k) -= f * a(col)(k); inv(r)(k) -= f * inv(col)(k); k += 1 }
+          }
+        }
+        r += 1
+      }
+      col += 1
+    }
+    inv
+  }
+
   /** Stable 64-bit hash of a string (FNV-1a), for jitter keys. */
   def hash64(s: String): Long = {
     var h = 0xcbf29ce484222325L
