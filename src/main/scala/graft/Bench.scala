@@ -45,9 +45,18 @@ object Bench {
     * Classpath is rebuilt from code-source locations (sbt runs us in an
     * in-process classloader, so java.class.path is useless here).
     */
+  private[graft] case class ForkResult(
+      points: Long,
+      pipelineSecs: Seq[Double],
+      stealFrac: Seq[Double],
+      kernelSps: Seq[Double],
+      controlGops: Seq[Double],
+      memGbps: Seq[Double],
+      stages: Seq[(String, Seq[Double])])
+
   private[graft] def runFork(cores: Int, pagesDir: String, reps: Int,
       kernelSeries: Int, shuffleParts: Int, warmupDir: Option[String] = None)
-      : Option[(Long, Seq[Double], Seq[Double], Seq[Double])] = {
+      : Option[ForkResult] = {
     // sbt runs us with `run / fork := true`, so java.class.path IS the
     // full application classpath. Code-source paths are appended for
     // launch modes where it isn't (e.g. an in-process runner): the app
@@ -82,7 +91,10 @@ object Bench {
       }
       val points = "\"points\":(\\d+)".r.findFirstMatchIn(json)
         .map(_.group(1).toLong).getOrElse(0L)
-      (points, arr("pipeline_secs"), arr("steal_frac"), arr("kernel_sps"))
+      val stageNames = Seq("derive", "hourly", "daily", "tail")
+      ForkResult(points, arr("pipeline_secs"), arr("steal_frac"),
+        arr("kernel_sps"), arr("control_gops"), arr("mem_gbps"),
+        stageNames.map(s => s -> arr(s)).filter(_._2.nonEmpty))
     }
   }
 
@@ -159,13 +171,16 @@ object Bench {
     val headCores = math.min(32, maxCores)
     val head = runFork(headCores, bigDir, reps, 0, shuffleParts = headCores * 2,
       warmupDir = Some(warmDir))
-    val headJson = head.map { case (pts, psecs, steals, _) =>
+    val headJson = head.map { fr =>
+      val psecs = fr.pipelineSecs
       val sec = psecs.min
-      s""""rollup":{"points":$pts,"seconds":${f"$sec%.2f"},""" +
-        s""""points_per_sec":${(pts / sec).round},"cores":$headCores,""" +
+      val med = median(psecs)
+      s""""rollup":{"points":${fr.points},"seconds":${f"$sec%.2f"},""" +
+        s""""points_per_sec":${(fr.points / sec).round},"cores":$headCores,""" +
         s""""fresh_jvm":true,"rep_secs":${arr(psecs)},""" +
-        s""""rep_steal_frac":${arr(steals)},""" +
-        s""""median_seconds":${f"${median(psecs)}%.2f"}}"""
+        s""""rep_steal_frac":${arr(fr.stealFrac)},""" +
+        s""""median_seconds":${f"$med%.2f"},""" +
+        s""""points_per_sec_median":${(fr.points / med).round}}"""
     }.getOrElse(""""rollup":null""")
 
     // scaling evidence: fresh JVM per rep, lo/hi INTERLEAVED so steal
@@ -177,12 +192,28 @@ object Bench {
       var psecs = List.empty[Double]
       var steals = List.empty[Double]
       var ksps = List.empty[Double]
+      var ctls = List.empty[Double]
+      var mems = List.empty[Double]
+      var stages = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+      def add(fr: ForkResult): Unit = {
+        pts = fr.points
+        psecs ++= fr.pipelineSecs; steals ++= fr.stealFrac
+        ksps ++= fr.kernelSps; ctls ++= fr.controlGops; mems ++= fr.memGbps
+        fr.stages.foreach { case (k, vs) =>
+          stages(k) = stages.getOrElse(k, Nil) ++ vs
+        }
+      }
       def pps: Double = pts / psecs.min
-      def json(cores: Int): String =
+      def ppsMedian: Double = pts / median(psecs)
+      def json(cores: Int): String = {
+        val st = stages.map { case (k, vs) => s""""$k":${arr(vs)}""" }.mkString(",")
         s""""c$cores":{"pipeline_secs":${arr(psecs)},"steal_frac":${arr(steals)},""" +
           s""""pipeline_pps_best":${pps.round},""" +
-          s""""pipeline_pps_median":${(pts / median(psecs)).round},""" +
+          s""""pipeline_pps_median":${ppsMedian.round},""" +
+          s""""control_gops":${arr(ctls)},"mem_gbps":${arr(mems)},""" +
+          s""""stage_secs":{$st},""" +
           s""""kernel_sps":${arr(ksps)}}"""
+      }
     }
     val pairs = Seq((1, 4, midDir, nPagesMid), (8, 32, bigDir, nPagesBig))
       .filter(p => p._2 <= maxCores)
@@ -200,22 +231,41 @@ object Bench {
       for (_ <- 1 to pairReps; c <- Seq(lo, hi)) {
         Thread.sleep(5000) // settle between forks
         runFork(c, dir, 1, kSeries, parts, warmupDir = Some(warmDir))
-          .foreach { case (pts, psecs, steals, ksps) =>
-            val a = acc(c); a.pts = pts
-            a.psecs ++= psecs; a.steals ++= steals; a.ksps ++= ksps
-          }
+          .foreach(acc(c).add)
       }
       val (l, h) = (acc(lo), acc(hi))
       if (l.psecs.isEmpty || h.psecs.isEmpty) None
       else {
-        val eff = (h.pps / l.pps) / (hi.toDouble / lo)
+        val ratio = hi.toDouble / lo
+        val eff = (h.pps / l.pps) / ratio
+        // the honest headline number: median-based, so one lucky rep
+        // cannot carry the claim (ADVICE r02)
+        val effMedian = (h.ppsMedian / l.ppsMedian) / ratio
         val keff =
           if (l.ksps.isEmpty || h.ksps.isEmpty) Double.NaN
-          else (h.ksps.max / l.ksps.max) / (hi.toDouble / lo)
+          else (h.ksps.max / l.ksps.max) / ratio
+        // box ceiling measured in the SAME windows as the pipeline reps:
+        // the fixed-work CPU control's lo->hi throughput ratio is what
+        // this machine could scale a perfectly parallel job to right
+        // then; plan efficiency = pipeline scaling relative to that
+        val ctlEff =
+          if (l.ctls.isEmpty || h.ctls.isEmpty) Double.NaN
+          else (median(h.ctls) / median(l.ctls)) / ratio
+        val memEff =
+          if (l.mems.isEmpty || h.mems.isEmpty) Double.NaN
+          else (median(h.mems) / median(l.mems)) / ratio
+        val planEff = if (ctlEff.isNaN || ctlEff == 0) Double.NaN
+          else effMedian / ctlEff
+        def opt(name: String, v: Double): String =
+          s""""$name":${if (v.isNaN) "null" else f"$v%.3f"}"""
         Some(s""""${lo}_to_$hi":{"input_pages":$npages,"shuffle_parts":$parts,""" +
           s""""interleaved":true,${l.json(lo)},${h.json(hi)},""" +
           s""""efficiency":${f"$eff%.3f"},""" +
-          s""""kernel_efficiency":${if (keff.isNaN) "null" else f"$keff%.3f"}}""")
+          s""""efficiency_median":${f"$effMedian%.3f"},""" +
+          opt("kernel_efficiency", keff) + "," +
+          opt("control_efficiency", ctlEff) + "," +
+          opt("mem_bandwidth_efficiency", memEff) + "," +
+          opt("plan_efficiency_vs_box", planEff) + "}")
       }
     }.mkString("{", ",", "}")
 

@@ -11,9 +11,10 @@ object ForkCheck {
     val reps = if (args.length > 2) args(2).toInt else 1
     val ks = if (args.length > 3) args(3).toInt else 16
     graft.Bench.runFork(cores, dir, reps, ks, math.max(cores * 2, 8)) match {
-      case Some((pts, psecs, steals, ksps)) =>
-        println(s"FORKCHECK ok points=$pts pipeline_secs=$psecs " +
-          s"steal_frac=$steals kernel_sps=$ksps")
+      case Some(fr) =>
+        println(s"FORKCHECK ok points=${fr.points} pipeline_secs=${fr.pipelineSecs} " +
+          s"steal_frac=${fr.stealFrac} kernel_sps=${fr.kernelSps} " +
+          s"control_gops=${fr.controlGops} stages=${fr.stages}")
       case None => println("FORKCHECK FAILED")
     }
   }

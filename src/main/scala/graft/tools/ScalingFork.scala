@@ -62,32 +62,72 @@ object ScalingFork {
       if (args.length > 4) args(4).toInt else math.max(cores * 2, 8)
     val warmupDir = if (args.length > 5) args(5) else pagesDir
 
+    // pair mode (kernelSeries > 0) runs the STAGED pipeline bracketed by
+    // same-window pure-CPU controls: per rep we learn (a) which stage
+    // stopped scaling, (b) what the box itself could scale to in that
+    // exact window — separating machine ceiling from plan ceiling
+    // (VERDICT r02 "What's missing" #1). Headline mode keeps the
+    // 3-action un-instrumented plan.
+    val pairMode = kernelSeries > 0
     val spark = ScalingProbe.session(cores, shuffleParts)
     try {
       // warmup: full pipeline once (JIT + codegen + parquet footer cache)
       ScalingProbe.pipeline(spark, warmupDir)
+      if (pairMode) { // JIT both controls
+        ScalingProbe.cpuControl(spark, cores, 50000000L)
+        ScalingProbe.memControl(spark, cores, 1)
+      }
       var points = 0L
+      val stageAcc =
+        collection.mutable.LinkedHashMap.empty[String, List[Double]]
+      val controls = collection.mutable.ArrayBuffer.empty[Double]
+      val memCtls = collection.mutable.ArrayBuffer.empty[Double]
       val measured = (1 to reps).map { _ =>
+        val cBefore = if (pairMode) ScalingProbe.cpuControl(spark, cores) else 0.0
+        val mBefore = if (pairMode) ScalingProbe.memControl(spark, cores) else 0.0
         val (tot0, st0) = cpuStat()
         val t0 = System.nanoTime()
-        points = ScalingProbe.pipeline(spark, pagesDir)
+        if (pairMode) {
+          val (pts, stages) = ScalingProbe.pipelineStaged(spark, pagesDir)
+          points = pts
+          stages.foreach { case (k, v) =>
+            stageAcc(k) = stageAcc.getOrElse(k, Nil) :+ v
+          }
+        } else points = ScalingProbe.pipeline(spark, pagesDir)
         val sec = (System.nanoTime() - t0) / 1e9
         val (tot1, st1) = cpuStat()
         val steal =
           if (tot1 > tot0) (st1 - st0).toDouble / (tot1 - tot0) else 0.0
+        val cAfter = if (pairMode) ScalingProbe.cpuControl(spark, cores) else 0.0
+        val mAfter = if (pairMode) ScalingProbe.memControl(spark, cores) else 0.0
+        if (pairMode) {
+          controls += (cBefore + cAfter) / 2 / 1e9
+          memCtls += (mBefore + mAfter) / 2 / 1e9
+        }
         (sec, steal)
       }
       val kernelSps =
-        if (kernelSeries <= 0) Seq.empty[Double]
+        if (!pairMode) Seq.empty[Double]
         else {
           kernelRun(spark, kernelSeries) // full-size warmup (JIT needs it)
           (1 to reps).map(_ => kernelRun(spark, kernelSeries))
         }
-      val ps = measured.map(m => f"${m._1}%.3f").mkString("[", ",", "]")
-      val sf = measured.map(m => f"${m._2}%.4f").mkString("[", ",", "]")
-      val ks = kernelSps.map(s => f"$s%.2f").mkString("[", ",", "]")
+      def fmt(xs: Seq[Double], p: String): String =
+        xs.map(x => p.format(x)).mkString("[", ",", "]")
+      val ps = fmt(measured.map(_._1), "%.3f")
+      val sf = fmt(measured.map(_._2), "%.4f")
+      val ks = fmt(kernelSps, "%.2f")
+      val extra =
+        if (!pairMode) ""
+        else {
+          val st = stageAcc.map { case (k, vs) =>
+            s""""$k":${fmt(vs, "%.3f")}"""
+          }.mkString(",")
+          s""","control_gops":${fmt(controls.toSeq, "%.3f")},""" +
+            s""""mem_gbps":${fmt(memCtls.toSeq, "%.3f")},"stages":{$st}"""
+        }
       println(s"""SCALING_RESULT {"cores":$cores,"points":$points,""" +
-        s""""pipeline_secs":$ps,"steal_frac":$sf,"kernel_sps":$ks}""")
+        s""""pipeline_secs":$ps,"steal_frac":$sf,"kernel_sps":$ks$extra}""")
     } finally spark.stop()
   }
 }

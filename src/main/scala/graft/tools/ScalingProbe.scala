@@ -68,6 +68,104 @@ object ScalingProbe {
     pts
   }
 
+  /** The same job with per-stage wall-clock attribution (VERDICT r02
+    * "Next round" #1: which stage stops scaling past 8 cores?). Four
+    * actions force the stage boundaries on persisted intermediates:
+    * derive (scan+extract+metrics+persist), hourly (gap-fill+first
+    * shuffle), daily (re-agg), tail (weekly+flags). The 4-action shape
+    * costs one action more than [[pipeline]] — stage mode is for the
+    * scaling pairs, the headline keeps the 3-action plan.
+    */
+  def pipelineStaged(spark: SparkSession, dir: String)
+      : (Long, Seq[(String, Double)]) = {
+    val stages = collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      stages += label -> (System.nanoTime() - t0) / 1e9
+      r
+    }
+    val pages = spark.read.parquet(dir)
+    val series = SeriesDerive.hostSeriesRich(pages)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var pts = 0L
+    t("derive")(series.count())
+    val continuous = series.filter(
+      col("series_id").startsWith("text_length") ||
+        col("series_id").startsWith("quality") ||
+        col("series_id").startsWith("lang_match"))
+    val sparse = series.filter(!(
+      col("series_id").startsWith("text_length") ||
+        col("series_id").startsWith("quality") ||
+        col("series_id").startsWith("lang_match")))
+    val dense = GapFill.locf(GapFill.densify(
+      continuous.withColumn("bucket", col("hour_rank").cast("long")),
+      Seq("series_id"), "bucket", "value"), Seq("series_id"), "bucket", "value", "v")
+      .select(col("series_id"), col("bucket").as("hour_rank"), col("v").as("value"))
+    val hourly = Tiers.hourly(
+      dense.unionByName(sparse.select(col("series_id"), col("hour_rank"), col("value"))),
+      "series_id", "hour_rank", "value")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pts += t("hourly")(hourly.count())
+    val daily = Tiers.rollup(hourly, "hourly", "daily")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pts += t("daily")(daily.count())
+    val one = lit(1L).as("one")
+    pts += t("tail")(
+      Tiers.rollup(daily, "daily", "weekly").select(one)
+        .unionAll(Tiers.anomalyFlags(daily).select(one)).count())
+    series.unpersist(); hourly.unpersist(); daily.unpersist()
+    (pts, stages.toSeq)
+  }
+
+  /** Fixed-work pure-CPU control: `cores` tasks of identical arithmetic,
+    * one wave — ops/sec measures the box's effective parallel CPU
+    * throughput in THIS window (hypervisor steal, thermal, memory-bus
+    * state included). The lo/hi ratio of the control is the box's own
+    * scaling ceiling, separating machine from plan in the same breath
+    * as the pipeline rep it brackets.
+    */
+  def cpuControl(spark: SparkSession, cores: Int, opsPerTask: Long = 400000000L): Double = {
+    val t0 = System.nanoTime()
+    spark.sparkContext.parallelize(0 until cores, cores).map { tid =>
+      var x = 0x9e3779b97f4a7c15L + tid
+      var i = 0L
+      while (i < opsPerTask) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      x
+    }.reduce(_ ^ _)
+    cores * opsPerTask / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Fixed-work DRAM-bandwidth control: `cores` tasks, each streaming
+    * `passes` sequential sums over a private 64 MiB long[] (far beyond
+    * L3 share — every element is a DRAM line). Aggregate GB/s touched.
+    * The lo/hi ratio measures how the box's MEMORY subsystem scales with
+    * concurrency — the other bracket around the pipeline stages, which
+    * sit between register-CPU scaling (cpuControl) and this.
+    */
+  def memControl(spark: SparkSession, cores: Int, passes: Int = 6): Double = {
+    val words = (64 << 20) / 8
+    val t0 = System.nanoTime()
+    spark.sparkContext.parallelize(0 until cores, cores).map { tid =>
+      val a = new Array[Long](words)
+      var i = 0
+      while (i < words) { a(i) = tid + i; i += 1 }
+      var s = 0L
+      var p = 0
+      while (p < passes) {
+        var j = 0
+        while (j < words) { s += a(j); j += 1 }
+        p += 1
+      }
+      s
+    }.reduce(_ ^ _)
+    val bytes = cores.toLong * (passes + 1) * words * 8L
+    bytes / ((System.nanoTime() - t0) / 1e9)
+  }
+
   def timed(spark: SparkSession, dir: String, tag: String): Double = {
     val t0 = System.nanoTime()
     val pts = pipeline(spark, dir)
