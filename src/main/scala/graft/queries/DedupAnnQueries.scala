@@ -150,9 +150,11 @@ object DedupAnnQueries {
       // embedding-cosine near-duplicates via hyperplane-bucketed LSH.
       // The sf corpus is near-orthogonal random vectors (max pairwise
       // cosine ~0.51), so near-dups are PLANTED: ids < 5 re-enter scaled
-      // by 1.0001 (same direction => cosine exactly 1, same LSH bucket)
-      // — the operator must recover exactly those pairs. Engine-specific
-      // buckets => rows-only; recall also asserted in DedupAnnSpec.
+      // by 1.0001 (same direction => cosine 1 at 6 dp, same LSH bucket
+      // in every table). The operator must recover EXACTLY those pairs,
+      // which makes the expected output closed-form — a full oracle
+      // (was rows-only in r02): any missed planted pair or any false
+      // positive breaks the row set.
       "q_dedup_embedding",
       (s, d) => {
         val base = T.embeddings(s, d)
@@ -163,8 +165,11 @@ object DedupAnnQueries {
             transform(col("embedding"), x => x * lit(1.0001)).as("embedding"))
         Dedup.embeddingNearDuplicates(base.unionByName(planted),
           "vec_id", "embedding", threshold = 0.99, planes = 8)
+          .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
       },
-      None
+      Some("""SELECT CAST(vec_id AS BIGINT) AS id1,
+             |  CAST(vec_id + 10000 AS BIGINT) AS id2, 1.0 AS cosine
+             |FROM embeddings WHERE vec_id < 5""".stripMargin)
     ),
     Q(
       // IVF cell-probed ANN top-k (the coarse-quantization scale path;

@@ -47,9 +47,12 @@ object TextQueries {
              |FROM documents""".stripMargin)
     ),
     Q(
-      // rolling k-word window fingerprints (content-defined dedup keys)
-      // — xxhash64 is engine-specific, so the driver check is rows-only;
-      // window-count arithmetic is asserted in DedupAnnSpec
+      // rolling k-word window fingerprints (content-defined dedup keys).
+      // The xxhash64 values are engine-specific, but the emitted COUNTS
+      // are not: n_windows = max(1, words-7), and n_distinct_windows =
+      // distinct 8-word windows (hash collisions are absent on this
+      // corpus and would fail the compare honestly) — both DuckDB-
+      // expressible, so this is a full oracle now (was rows-only in r02)
       "q_text_window_fp",
       (s, d) =>
         T.documents(s, d)
@@ -57,7 +60,14 @@ object TextQueries {
             size(TextOps.windowFingerprints(col("text"), 8)).as("n_windows"),
             size(array_distinct(TextOps.windowFingerprints(col("text"), 8)))
               .as("n_distinct_windows")),
-      None
+      Some("""SELECT doc_id,
+             |  CAST(greatest(1, len(regexp_split_to_array(trim(text), '\s+')) - 7)
+             |    AS INT) AS n_windows,
+             |  CAST(len(list_distinct(list_transform(
+             |    range(1, greatest(1, len(regexp_split_to_array(trim(text), '\s+')) - 7) + 1),
+             |    i -> array_to_string((regexp_split_to_array(trim(text), '\s+'))[i:i+7], ' '))))
+             |    AS INT) AS n_distinct_windows
+             |FROM documents""".stripMargin)
     ),
     Q(
       "q_text_fingerprint_dups",
