@@ -52,6 +52,7 @@ object Bench {
       kernelSps: Seq[Double],
       controlGops: Seq[Double],
       memGbps: Seq[Double],
+      latMops: Seq[Double],
       stages: Seq[(String, Seq[Double])])
 
   private[graft] def runFork(cores: Int, pagesDir: String, reps: Int,
@@ -93,7 +94,7 @@ object Bench {
         .map(_.group(1).toLong).getOrElse(0L)
       val stageNames = Seq("derive", "hourly", "daily", "tail")
       ForkResult(points, arr("pipeline_secs"), arr("steal_frac"),
-        arr("kernel_sps"), arr("control_gops"), arr("mem_gbps"),
+        arr("kernel_sps"), arr("control_gops"), arr("mem_gbps"), arr("lat_mops"),
         stageNames.map(s => s -> arr(s)).filter(_._2.nonEmpty))
     }
   }
@@ -143,7 +144,10 @@ object Bench {
     }
 
     // one-time setup (untimed): materialize the synthetic crawl tables
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    val tmp = (if (new java.io.File("/dev/shm").isDirectory)
+      java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), "graft_bench")
+    else java.nio.file.Files.createTempDirectory("graft_bench")).toString
     val bigDir = s"$tmp/pages_big"
     val midDir = s"$tmp/pages_mid"
     val warmDir = s"$tmp/pages_warm"
@@ -194,11 +198,12 @@ object Bench {
       var ksps = List.empty[Double]
       var ctls = List.empty[Double]
       var mems = List.empty[Double]
+      var lats = List.empty[Double]
       var stages = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
       def add(fr: ForkResult): Unit = {
         pts = fr.points
         psecs ++= fr.pipelineSecs; steals ++= fr.stealFrac
-        ksps ++= fr.kernelSps; ctls ++= fr.controlGops; mems ++= fr.memGbps
+        ksps ++= fr.kernelSps; ctls ++= fr.controlGops; mems ++= fr.memGbps; lats ++= fr.latMops
         fr.stages.foreach { case (k, vs) =>
           stages(k) = stages.getOrElse(k, Nil) ++ vs
         }
@@ -210,7 +215,7 @@ object Bench {
         s""""c$cores":{"pipeline_secs":${arr(psecs)},"steal_frac":${arr(steals)},""" +
           s""""pipeline_pps_best":${pps.round},""" +
           s""""pipeline_pps_median":${ppsMedian.round},""" +
-          s""""control_gops":${arr(ctls)},"mem_gbps":${arr(mems)},""" +
+          s""""control_gops":${arr(ctls)},"mem_gbps":${arr(mems)},"lat_mops":${arr(lats)},""" +
           s""""stage_secs":{$st},""" +
           s""""kernel_sps":${arr(ksps)}}"""
       }
@@ -222,11 +227,10 @@ object Bench {
       // enough kernel work that the hi level runs >=2s (96 series at 32
       // cores is 3 task waves of ~35ms — pure scheduling noise)
       val kSeries = math.max(kernelSeries, hi * 24)
-      // the 1->4 pair is the north-rule headline and gets full reps; the
-      // 8->32 pair documents the box's shared-resource ceiling (explained
-      // in BENCH/BASELINE.md) and runs one rep fewer to bound total
-      // bench wall-clock on contended windows
-      val pairReps = if (lo >= 8) math.max(2, reps - 1) else reps
+      // full reps on BOTH pairs: this box has multi-minute degradation
+      // phases that can swallow a 2-rep pair whole (r03 selfrun); more
+      // interleaved reps + median aggregation is the only defense
+      val pairReps = reps
       val acc = Map(lo -> new Acc, hi -> new Acc)
       for (_ <- 1 to pairReps; c <- Seq(lo, hi)) {
         Thread.sleep(5000) // settle between forks
@@ -254,6 +258,9 @@ object Bench {
         val memEff =
           if (l.mems.isEmpty || h.mems.isEmpty) Double.NaN
           else (median(h.mems) / median(l.mems)) / ratio
+        val latEff =
+          if (l.lats.isEmpty || h.lats.isEmpty) Double.NaN
+          else (median(h.lats) / median(l.lats)) / ratio
         val planEff = if (ctlEff.isNaN || ctlEff == 0) Double.NaN
           else effMedian / ctlEff
         def opt(name: String, v: Double): String =
@@ -265,6 +272,7 @@ object Bench {
           opt("kernel_efficiency", keff) + "," +
           opt("control_efficiency", ctlEff) + "," +
           opt("mem_bandwidth_efficiency", memEff) + "," +
+          opt("mem_latency_efficiency", latEff) + "," +
           opt("plan_efficiency_vs_box", planEff) + "}")
       }
     }.mkString("{", ",", "}")

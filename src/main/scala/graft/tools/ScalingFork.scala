@@ -73,18 +73,21 @@ object ScalingFork {
     try {
       // warmup: full pipeline once (JIT + codegen + parquet footer cache)
       ScalingProbe.pipeline(spark, warmupDir)
-      if (pairMode) { // JIT both controls
+      if (pairMode) { // JIT all three controls
         ScalingProbe.cpuControl(spark, cores, 50000000L)
         ScalingProbe.memControl(spark, cores, 1)
+        ScalingProbe.latControl(spark, cores, 2000000L)
       }
       var points = 0L
       val stageAcc =
         collection.mutable.LinkedHashMap.empty[String, List[Double]]
       val controls = collection.mutable.ArrayBuffer.empty[Double]
       val memCtls = collection.mutable.ArrayBuffer.empty[Double]
+      val latCtls = collection.mutable.ArrayBuffer.empty[Double]
       val measured = (1 to reps).map { _ =>
         val cBefore = if (pairMode) ScalingProbe.cpuControl(spark, cores) else 0.0
         val mBefore = if (pairMode) ScalingProbe.memControl(spark, cores) else 0.0
+        val lBefore = if (pairMode) ScalingProbe.latControl(spark, cores) else 0.0
         val (tot0, st0) = cpuStat()
         val t0 = System.nanoTime()
         if (pairMode) {
@@ -100,9 +103,11 @@ object ScalingFork {
           if (tot1 > tot0) (st1 - st0).toDouble / (tot1 - tot0) else 0.0
         val cAfter = if (pairMode) ScalingProbe.cpuControl(spark, cores) else 0.0
         val mAfter = if (pairMode) ScalingProbe.memControl(spark, cores) else 0.0
+        val lAfter = if (pairMode) ScalingProbe.latControl(spark, cores) else 0.0
         if (pairMode) {
           controls += (cBefore + cAfter) / 2 / 1e9
           memCtls += (mBefore + mAfter) / 2 / 1e9
+          latCtls += (lBefore + lAfter) / 2
         }
         (sec, steal)
       }
@@ -124,7 +129,8 @@ object ScalingFork {
             s""""$k":${fmt(vs, "%.3f")}"""
           }.mkString(",")
           s""","control_gops":${fmt(controls.toSeq, "%.3f")},""" +
-            s""""mem_gbps":${fmt(memCtls.toSeq, "%.3f")},"stages":{$st}"""
+            s""""mem_gbps":${fmt(memCtls.toSeq, "%.3f")},""" +
+            s""""lat_mops":${fmt(latCtls.toSeq, "%.2f")},"stages":{$st}"""
         }
       println(s"""SCALING_RESULT {"cores":$cores,"points":$points,""" +
         s""""pipeline_secs":$ps,"steal_frac":$sf,"kernel_sps":$ks$extra}""")

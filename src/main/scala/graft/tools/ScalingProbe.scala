@@ -166,6 +166,42 @@ object ScalingProbe {
     bytes / ((System.nanoTime() - t0) / 1e9)
   }
 
+  /** Fixed-work memory-LATENCY control: `cores` tasks, each doing
+    * `steps` fully dependent loads over a 16M-entry random-permutation
+    * walk (64 MiB working set, beyond the per-core L3 share — nearly
+    * every dereference is an uncached DRAM round-trip). Aggregate
+    * M-derefs/sec. This is the dimension the
+    * streaming bandwidth control can NOT see: sort/hash/shuffle stages
+    * are latency-bound, and this box has degradation phases where
+    * bandwidth and register-CPU throughput stay normal while latency
+    * collapses (observed r03: pipeline 3-4x slower with both other
+    * controls healthy).
+    */
+  def latControl(spark: SparkSession, cores: Int, steps: Long = 20000000L): Double = {
+    val t0 = System.nanoTime()
+    spark.sparkContext.parallelize(0 until cores, cores).map { tid =>
+      val n = 16 << 20 // 16M ints = 64 MiB of indices, walk is random
+      val a = new Array[Int](n)
+      var i = 0
+      while (i < n) { a(i) = i; i += 1 }
+      // Fisher-Yates with a cheap xorshift -> one random cycle
+      var x = 0x9e3779b97f4a7c15L + tid
+      i = n - 1
+      while (i > 0) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        val j = ((x & 0x7fffffffffffffffL) % (i + 1)).toInt
+        val t = a(i); a(i) = a(j); a(j) = t
+        i -= 1
+      }
+      var idx = 0
+      var s = 0L
+      var k = 0L
+      while (k < steps) { idx = a(idx); s += idx; k += 1 }
+      s
+    }.reduce(_ ^ _)
+    cores * steps / 1e6 / ((System.nanoTime() - t0) / 1e9)
+  }
+
   def timed(spark: SparkSession, dir: String, tag: String): Double = {
     val t0 = System.nanoTime()
     val pts = pipeline(spark, dir)
