@@ -30,7 +30,11 @@ object SeriesDerive {
     */
   val shardsPerHost = 4
 
-  private def hostCol = regexp_extract(col("url"), "https://([^/]+)/", 1)
+  // host from "scheme://host/path" without a regex pass: two delimiter
+  // scans (substring_index is codegen'd byte search). Equivalent to the
+  // previous regexp_extract on every well-formed crawl url.
+  private def hostCol =
+    substring_index(substring_index(col("url"), "://", -1), "/", 1)
   private def shardCol =
     concat(hostCol, lit("#"), pmod(xxhash64(col("url")), lit(shardsPerHost)))
 
@@ -84,7 +88,7 @@ object SeriesDerive {
     // lambdas over a words ATTRIBUTE don't re-split per element.
     val base = pages
       .select(
-        regexp_extract(col("url"), "https://([^/]+)/", 1).as("host"),
+        hostCol.as("host"),
         ((unix_timestamp(col("warc_ts")) - CrawlSynth.startEpoch) / 3600L)
           .cast("long").as("hour_rank"),
         TextExtract.extract(col("html")).as("xtext"),
@@ -97,9 +101,10 @@ object SeriesDerive {
         length(col("xtext")).cast("double").as("text_len"),
         when(length(trim(col("xtext"))) === 0, 0.0)
           .otherwise(size(col("xwords")).cast("double")).as("n_tokens"),
-        // quality from the materialized words array (one regex pass)
+        // quality from the materialized words array; alpha ratio via the
+        // single-scan native counter (no per-row string rebuild)
         (coalesce(try_divide(
-          length(regexp_replace(col("xtext"), "[^a-zA-Z]", "")).cast("double"),
+          graft.functions.AsciiAlphaCount(col("xtext")).cast("double"),
           length(col("xtext")).cast("double")), lit(0.0)) * 0.4 +
           least(lit(1.0), length(col("xtext")) / lit(500.0)) * 0.4 +
           when(try_divide(length(col("xtext")).cast("double"),

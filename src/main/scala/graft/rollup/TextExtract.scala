@@ -38,10 +38,21 @@ object TextExtract {
       "UTF-8")
 
   /** html binary -> extracted text, byte-identical to the wrapped text.
-    * The escaped body cannot contain a literal "</p>" (every '<' was
-    * escaped), so the anchored greedy capture is unambiguous.
+    * Single-pass native expression (graft.functions.ExtractWrapped):
+    * byte-scan prefix/marker/suffix location + one-pass entity unescape,
+    * replacing an anchored regex capture plus three regexp_replace
+    * passes per page (the derive stage's hottest per-row work).
+    * TextExtractSpec cross-checks it against [[extractRegex]] on
+    * arbitrary round-tripped unicode.
     */
   def extract(html: Column): Column =
+    graft.functions.ExtractWrapped(decode(html, "UTF-8"))
+
+  /** the regex/regexp_replace reference form of [[extract]] (the escaped
+    * body cannot contain a literal "</p>" — every '<' was escaped — so
+    * the anchored greedy capture is unambiguous). Spec cross-check only.
+    */
+  private[graft] def extractRegex(html: Column): Column =
     unescape(regexp_extract(decode(html, "UTF-8"),
       "(?s)^<html><head><title>.*?</title></head><body><p>(.*)</p></body></html>$", 1))
 

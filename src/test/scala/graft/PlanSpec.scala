@@ -83,6 +83,20 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("jaccardVerify's candidate semi-join reuses the candidate exchange") {
+    // nearDuplicates references the LSH candidate subplan three times
+    // (pairs + the two ids of the semi-join filter). ReuseExchange must
+    // dedupe those into ReusedExchange nodes — otherwise candidate
+    // generation (a shuffle) runs 3x per job at corpus scale.
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val nd = graft.dedup.Dedup.nearDuplicates(docs, "doc_id", "text", 0.5)
+    nd.collect() // finalize the AQE physical plan
+    val exec = nd.queryExecution.executedPlan.toString
+    assert(exec.contains("ReusedExchange") || exec.contains("TableCacheQueryStage")
+      || exec.contains("ReusedSubquery"),
+      "candidate subplan not reused:\n" + exec.take(1200))
+  }
+
   test("native SimHash64 expression runs inside a codegen'd projection") {
     // non-foldable input (range-derived) so the projection isn't
     // collapsed into a LocalTableScan at optimization time

@@ -68,6 +68,31 @@ class TextExtractSpec extends GraftSuite {
       s"round-trip failed for '${r.getString(0)}'"))
   }
 
+  test("native single-pass extract matches the regex form on round-tripped content") {
+    // the regex+3x-regexp_replace reference form vs the single-pass
+    // native expression, over adversarial escaped/unicode content AND
+    // real synthesized pages
+    val texts = Seq(
+      "plain", "a < b > c & d", "pre-escaped &amp; &lt; entities",
+      "&amp;amp; &amp;lt; &lt;&gt;&amp;", "é中文 😀", "&", "&l", "&lt",
+      "trailing &", "x&gt", "")
+    import spark.implicits._
+    val df = texts.toDF("text")
+      .withColumn("html", TextExtract.wrap(col("text"), lit("t & <x>")))
+      .select(TextExtract.extract(col("html")).as("fast"),
+        TextExtract.extractRegex(col("html")).as("ref"))
+    df.collect().foreach(r => assert(r.getString(0) === r.getString(1)))
+    val pages = CrawlSynth.pages(spark, 300, nHosts = 30, numPartitions = 2)
+    val diff = pages.select(TextExtract.extract(col("html")).as("fast"),
+      TextExtract.extractRegex(col("html")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.isEmpty)
+    // non-matching input -> "" like regexp_extract
+    val junk = Seq("<html>nope</html>", "", "random").toDF("s")
+      .select(graft.functions.ExtractWrapped(col("s")).as("x")).collect()
+    assert(junk.forall(_.getString(0) === ""))
+  }
+
   test("crawl pages satisfy the per-url byte-identical invariant") {
     val pages = CrawlSynth.pages(spark, 500, nHosts = 50, numPartitions = 4)
     val bad = pages.withColumn("extracted", TextExtract.extract(col("html")))
