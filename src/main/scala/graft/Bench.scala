@@ -283,6 +283,14 @@ object Bench {
       }
     }.mkString("{", ",", "}")
 
+    // the synthesized tables live on tmpfs — delete them or repeated
+    // runs leak RAM-backed gigabytes (they are re-synthesized per run)
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case _: Throwable => () }
+
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, st) if st != "ok" =>
