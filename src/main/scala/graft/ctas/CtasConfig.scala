@@ -25,7 +25,16 @@ final case class CtasConfig(
       * a documented divergence that never triggers at clinical scale
       * but bounds task memory for hot crawl series (SURVEY.md §7.4.6).
       */
-    maxKernelSubjectsPerSeries: Int = 10000)
+    maxKernelSubjectsPerSeries: Int = 10000,
+    /** Hard cap on subjects entering one (series, feature, ref_group)
+      * KS site-scoring group (the KS kernel sorts the group's values on
+      * ONE task). Above the cap, subjects are deterministically
+      * hash-sampled — same contract as maxKernelSubjectsPerSeries, same
+      * never-at-clinical-scale divergence note (VERDICT r03 "What's
+      * wrong" #2; mixed-effects needs no cap — its kernel input is a
+      * per-site sufficient-statistics reduction).
+      */
+    maxScoringSubjectsPerGroup: Int = 100000)
 
 /** The five input tables (schemas per R/ctas.R:1054-1086; FIXTURES.md §A). */
 final case class CtasInput(

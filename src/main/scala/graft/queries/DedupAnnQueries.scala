@@ -270,6 +270,29 @@ object DedupAnnQueries {
       Some(annRecallOracleSql.replace("found_by_lsh", "found_by_ivf"))
     ),
     Q(
+      // capped-bucket recall-loss telemetry, oracle-checked (VERDICT r03
+      // "Next round" #6): cappedBucketStats over a DuckDB-replicable
+      // bucket table (lang × length-centile of documents, cap 40).
+      // n_dropped_rows counts ALL rows of over-cap buckets because
+      // capBuckets drops the whole bucket (see Dedup.cappedBucketStats).
+      "q_dedup_capped_stats",
+      (s, d) => {
+        val buckets = T.documents(s, d)
+          .select(col("lang"), floor(length(col("text")) / 100).as("len_bucket"))
+        Dedup.cappedBucketStats(buckets, Seq("lang", "len_bucket"), cap = 40)
+      },
+      Some("""WITH b AS (
+             |  SELECT lang, CAST(floor(length(text) / 100) AS BIGINT) AS len_bucket,
+             |    count(*) AS bn
+             |  FROM documents GROUP BY 1, 2)
+             |SELECT count(*) AS n_buckets,
+             |  CAST(sum(CASE WHEN bn > 40 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_capped_buckets,
+             |  CAST(sum(CASE WHEN bn > 40 THEN bn ELSE 0 END) AS BIGINT)
+             |    AS n_dropped_rows
+             |FROM b""".stripMargin)
+    ),
+    Q(
       // embedding norms / label profile — oracle via list_dot_product
       "q_embedding_norms",
       (s, d) =>

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Q
-import graft.rollup.{GapFill, Tiers}
+import graft.rollup.{GapFill, StreamingTier, Tiers}
 import graft.util.T
 import org.apache.spark.sql.functions._
 
@@ -55,6 +55,30 @@ object RollupQueries {
       Some(s"""WITH es AS ($eventSeriesSql)
               |SELECT series_id,
               |  CAST(floor(hour_rank / 24) AS BIGINT) AS bucket,
+              |  count(value) AS n,
+              |  round(sum(value), 6) AS sum,
+              |  round(sum(value) / count(value), 6) AS avg,
+              |  min(value) AS min, max(value) AS max
+              |FROM es GROUP BY 1, 2""".stripMargin)
+    ),
+    Q(
+      // weekly tier BUILT BY RE-AGGREGATING the daily tier (which was
+      // itself re-aggregated from hourly) — the full tier chain verified
+      // against direct weekly aggregation in DuckDB (VERDICT r03 "Next
+      // round" #3: weekly was sbt-only)
+      "q_tier_weekly_from_daily",
+      (s, d) => {
+        val hourly = Tiers.hourly(eventSeries(s, d), "series_id", "hour_rank", "value")
+        val daily = Tiers.rollup(hourly, "hourly", "daily")
+        Tiers.withDerived(Tiers.rollup(daily, "daily", "weekly"))
+          .select(col("series_id"), col("bucket"), col("n"),
+            round(col("sum"), 6).as("sum"),
+            round(col("avg"), 6).as("avg"),
+            col("min"), col("max"))
+      },
+      Some(s"""WITH es AS ($eventSeriesSql)
+              |SELECT series_id,
+              |  CAST(floor(hour_rank / 168) AS BIGINT) AS bucket,
               |  count(value) AS n,
               |  round(sum(value), 6) AS sum,
               |  round(sum(value) / count(value), 6) AS avg,
@@ -205,6 +229,48 @@ object RollupQueries {
               |  n_prev AS n_seen
               |FROM zq
               |WHERE n_prev >= 5 AND sd_prev > 0 AND abs(z) > 4.0""".stripMargin)
+    ),
+    Q(
+      // the ACTUAL Structured Streaming hourly tier (readStream ->
+      // watermarked tumbling window -> memory sink), driver-verified
+      // (VERDICT r03 "Next round" #7: StreamingTier was sbt-only).
+      // events are wrapped as crawl pages (url from user bucket, text
+      // from event_type:props) and written to a temp parquet dir; the
+      // streamed per-(host,hour) algebraic state is compared against
+      // DuckDB's direct batch aggregation of the same rows — i.e. the
+      // streaming-equals-batch invariant checked end-to-end through a
+      // real StreamingQuery, not a batch stand-in.
+      "q_stream_hourly_tier",
+      (s, d) => {
+        val pages = T.events(s, d).select(
+          concat(lit("https://h"), col("user_id") % 20, lit(".example/"),
+            col("event_id")).as("url"),
+          col("ts").as("warc_ts"),
+          concat(col("event_type"), lit(":"), col("props")).as("text"))
+        val dir = java.nio.file.Files.createTempDirectory("q_stream_pages").toString
+        pages.write.mode("overwrite").parquet(dir)
+        val q = StreamingTier.runFileStream(s, dir, "q_stream_hourly_sink")
+        q.processAllAvailable()
+        q.stop()
+        s.table("q_stream_hourly_sink").select(
+          col("series_id"), col("bucket").cast("long").as("bucket"),
+          col("n"), col("sum").cast("long").as("sum"),
+          col("sumsq").cast("long").as("sumsq"),
+          col("min").cast("long").as("min"), col("max").cast("long").as("max"))
+      },
+      // 1736121600 / 3600 = 482256 (CrawlSynth.startEpoch in hours)
+      Some("""WITH pages AS (
+             |  SELECT 'h' || CAST(user_id % 20 AS VARCHAR) || '.example' AS host,
+             |    ts, length(event_type || ':' || props) AS text_len
+             |  FROM events)
+             |SELECT 'text_length|' || host AS series_id,
+             |  CAST(floor(epoch(ts) / 3600) - 482256 AS BIGINT) AS bucket,
+             |  count(text_len) AS n,
+             |  CAST(sum(text_len) AS BIGINT) AS sum,
+             |  CAST(sum(text_len * text_len) AS BIGINT) AS sumsq,
+             |  CAST(min(text_len) AS BIGINT) AS min,
+             |  CAST(max(text_len) AS BIGINT) AS max
+             |FROM pages GROUP BY 1, 2""".stripMargin)
     ),
     Q(
       // per-series anomaly screen over the daily tier vs the same

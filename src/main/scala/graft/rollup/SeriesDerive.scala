@@ -31,10 +31,14 @@ object SeriesDerive {
   val shardsPerHost = 4
 
   // host from "scheme://host/path" without a regex pass: two delimiter
-  // scans (substring_index is codegen'd byte search). Equivalent to the
-  // previous regexp_extract on every well-formed crawl url.
+  // scans (substring_index is codegen'd byte search). Guarded so a
+  // malformed url WITHOUT "://" yields "" — matching the previous
+  // regexp_extract's non-match behavior — instead of substring_index's
+  // whole-input fallback (ADVICE r03).
   private def hostCol =
-    substring_index(substring_index(col("url"), "://", -1), "/", 1)
+    when(contains(col("url"), lit("://")),
+      substring_index(substring_index(col("url"), "://", -1), "/", 1))
+      .otherwise(lit(""))
   private def shardCol =
     concat(hostCol, lit("#"), pmod(xxhash64(col("url")), lit(shardsPerHost)))
 

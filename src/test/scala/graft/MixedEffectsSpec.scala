@@ -162,6 +162,148 @@ class MixedEffectsSpec extends GraftSuite {
     }
   }
 
+  test("NESTED UNBALANCED fit equals direct 3-level REML maximization " +
+    "(lmer parity — VERDICT r03 'Next round' #4)") {
+    // The production shape of lmer(value ~ (1|region/country/site)) with
+    // unequal site sizes. Independent check: direct numerical REML —
+    // H(γ) = I + γs·S + γc·C + γr·R (same-group indicator matrices),
+    // criterion log|H| + log(1'H⁻¹1) + (n−1)·log(y'Py) minimized by
+    // cyclic golden-section over the three log-ratios, everything
+    // evaluated through a dense Cholesky — entirely different code from
+    // the kernel's EM on the Henderson equations.
+    val rng = new java.util.SplittableRandom(31)
+    val regionEff = Map("rA" -> 6.0, "rB" -> -6.0)
+    val sitesPerCountry = 3
+    // site sizes 4..12, deterministic but irregular
+    var sizeSeed = 0
+    val layout = for {
+      reg <- Seq("rA", "rB"); ci <- 0 until 2; si <- 0 until sitesPerCountry
+    } yield {
+      sizeSeed += 1
+      val sz = 4 + (sizeSeed * 5) % 9
+      (reg, s"$reg-c$ci", s"$reg-c$ci-s$si", sz,
+        regionEff(reg) + (ci - 0.5) * 6.0 + (si - 1.0) * 2.0)
+    }
+    val rows = layout.flatMap { case (reg, ctry, site, sz, eff) =>
+      (0 until sz).map(j =>
+        (site, ctry, reg, s"${site}_$j", 100.0 + eff + rng.nextGaussian() * 1.5))
+    }
+    val n = rows.length
+    val ys = rows.map(_._5).toArray
+    val siteOf = rows.map(_._1).toArray
+    val ctryOf = rows.map(_._2).toArray
+    val regOf = rows.map(_._3).toArray
+
+    // ---------- independent direct REML ----------
+    def chol(a: Array[Array[Double]]): Array[Array[Double]] = {
+      val nn = a.length
+      val l = Array.ofDim[Double](nn, nn)
+      var i = 0
+      while (i < nn) {
+        var j = 0
+        while (j <= i) {
+          var s = a(i)(j)
+          var k = 0
+          while (k < j) { s -= l(i)(k) * l(j)(k); k += 1 }
+          if (i == j) l(i)(i) = math.sqrt(s) else l(i)(j) = s / l(j)(j)
+          j += 1
+        }
+        i += 1
+      }
+      l
+    }
+    def solve(l: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+      val nn = l.length
+      val z = new Array[Double](nn)
+      var i = 0
+      while (i < nn) {
+        var s = b(i); var k = 0
+        while (k < i) { s -= l(i)(k) * z(k); k += 1 }
+        z(i) = s / l(i)(i); i += 1
+      }
+      val x = new Array[Double](nn)
+      i = nn - 1
+      while (i >= 0) {
+        var s = z(i); var k = i + 1
+        while (k < nn) { s -= l(k)(i) * x(k); k += 1 }
+        x(i) = s / l(i)(i); i -= 1
+      }
+      x
+    }
+    val ones = Array.fill(n)(1.0)
+    def hFor(gs: Double, gc: Double, gr: Double): Array[Array[Double]] =
+      Array.tabulate(n, n) { (i, j) =>
+        (if (i == j) 1.0 else 0.0) +
+          (if (siteOf(i) == siteOf(j)) gs else 0.0) +
+          (if (ctryOf(i) == ctryOf(j)) gc else 0.0) +
+          (if (regOf(i) == regOf(j)) gr else 0.0)
+      }
+    def crit(gs: Double, gc: Double, gr: Double): Double = {
+      val l = chol(hFor(gs, gc, gr))
+      val logdet = 2.0 * (0 until n).map(i => math.log(l(i)(i))).sum
+      val u1 = solve(l, ones); val uy = solve(l, ys)
+      val xhx = u1.sum
+      val xhy = uy.sum // 1'H⁻¹y
+      val yhy = (0 until n).map(i => ys(i) * uy(i)).sum
+      val ypy = yhy - xhy * xhy / xhx
+      logdet + math.log(xhx) + (n - 1) * math.log(ypy)
+    }
+    val g = Array(1.0, 1.0, 1.0) // (γ_site, γ_country, γ_region)
+    val phi = (math.sqrt(5.0) - 1) / 2
+    (0 until 20).foreach { _ =>
+      (0 until 3).foreach { c =>
+        var (lo, hi) = (math.log(1e-6), math.log(1e3))
+        def f(lg: Double): Double = {
+          val t = g.clone(); t(c) = math.exp(lg); crit(t(0), t(1), t(2))
+        }
+        (0 until 40).foreach { _ =>
+          val a = hi - phi * (hi - lo); val b = lo + phi * (hi - lo)
+          if (f(a) < f(b)) hi = b else lo = a
+        }
+        g(c) = math.exp((lo + hi) / 2)
+      }
+    }
+    val lFin = chol(hFor(g(0), g(1), g(2)))
+    val u1 = solve(lFin, ones); val uy = solve(lFin, ys)
+    val beta = uy.sum / u1.sum
+    val resid = ys.zip(ones).map { case (y, o) => y - beta * o }
+    val v = solve(lFin, resid)
+    val ypy = (0 until n).map(i => ys(i) * uy(i)).sum - math.pow(uy.sum, 2) / u1.sum
+    val se2 = ypy / (n - 1)
+    val (ss2, sc2, sr2) = (g(0) * se2, g(1) * se2, g(2) * se2)
+    def blupOf(assign: Array[String], gamma: Double): Map[String, Double] =
+      assign.zipWithIndex.groupBy(_._1).map { case (k, idx) =>
+        k -> gamma * idx.map(p => v(p._2)).sum
+      }
+    val siteBlup = blupOf(siteOf, g(0))
+    val ctryBlup = blupOf(ctryOf, g(1))
+    val regBlup = blupOf(regOf, g(2))
+
+    // ---------- the kernel's fit from sufficient statistics ----------
+    val suff = rows.groupBy(r => (r._1, r._2, r._3)).map { case ((site, ctry, reg), rs) =>
+      MixedEffects.MeSuff("ts_n", "average", "country", site, ctry, reg,
+        rs.length.toLong, rs.map(_._5).sum, rs.map(r => r._5 * r._5).sum)
+    }.toArray
+    val fit = MixedEffects.fitEmReml(suff)
+
+    // levels order is (region, country, site) on this shape
+    def rel(a: Double, b: Double) = math.abs(a - b) / math.max(math.abs(b), 1e-12)
+    assert(rel(fit.sigmaE2, se2) < 0.02,
+      f"σe²: EM ${fit.sigmaE2}%.4f vs direct $se2%.4f")
+    assert(rel(fit.sigmaL2(0), sr2) < 0.05, f"σ_region²: ${fit.sigmaL2(0)}%.4f vs $sr2%.4f")
+    assert(rel(fit.sigmaL2(1), sc2) < 0.05, f"σ_country²: ${fit.sigmaL2(1)}%.4f vs $sc2%.4f")
+    assert(rel(fit.sigmaL2(2), ss2) < 0.05, f"σ_site²: ${fit.sigmaL2(2)}%.4f vs $ss2%.4f")
+    def checkLevel(l: Int, want: Map[String, Double]): Unit =
+      fit.levelNames(l).zipWithIndex.foreach { case (name, gi) =>
+        val got = fit.s(fit.offs(l) + gi)
+        assert(math.abs(got - want(name)) <= 0.02 + 0.02 * math.abs(want(name)),
+          f"level $l entity $name: EM BLUP $got%.4f vs direct ${want(name)}%.4f")
+      }
+    checkLevel(0, regBlup)
+    checkLevel(1, ctryBlup)
+    checkLevel(2, siteBlup)
+  }
+
   test("nested balanced design recovers planted region/country/site effects") {
     // 2 regions x 2 countries each x 3 sites each x 20 subjects: the
     // sequential per-level EB fit must place each level's entity effects
