@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g: the r4 scale specs (1e5-row site-scoring groups, the relational
+  // autogen equivalence matrix) run the whole suite near the old 8g line
+  // in one local-mode JVM — a late BroadcastExchange then trips the
+  // not-enough-memory-to-broadcast guard
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

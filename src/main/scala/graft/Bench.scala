@@ -147,6 +147,59 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, status)
     }
 
+    // real-dim embedding bench (VERDICT r03 "Next round" #8): a dim=768
+    // clustered corpus through the ANN/dedup scale paths, so the
+    // references-slot native matrix expressions carry committed numbers
+    // (AnnScaleSpec proves correctness at this shape; this records
+    // throughput). Corpus synthesis + caching are untimed.
+    val embJson = try {
+      import spark.implicits._
+      val dim = 768
+      val nVec: Long = sfDir match {
+        case d if d.contains("sf0.1")  => 20000L
+        case d if d.contains("sf0.01") => 5000L
+        case _                         => 2000L
+      }
+      val nQ = 50L
+      val corpus = spark.range(0, nVec, 1, 32).map { id =>
+        val cRng = new java.util.SplittableRandom(1000L + id % 64)
+        val center = Array.fill(dim)(cRng.nextGaussian())
+        val rng = new java.util.SplittableRandom(id)
+        (id, center.map(x => x + 0.15 * rng.nextGaussian()))
+      }.toDF("id", "vec").persist()
+      corpus.count()
+      val queries = corpus.filter(org.apache.spark.sql.functions.col("id") < nQ)
+      def timed(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+      }
+      var cents: IndexedSeq[Double] = null
+      val (tBuild, _) = timed {
+        cents = graft.ann.Ann.kmeansCentroids(corpus, 256, dim, iters = 3, sampleN = 2048)
+        cents.length.toLong
+      }
+      val (tIvf, nIvf) = timed {
+        graft.ann.Ann.ivfTopK(queries, corpus, 10, cents, dim, nprobe = 8).count()
+      }
+      val (tLsh, nLsh) = timed {
+        graft.ann.Ann.lshTopK(queries, corpus, 10, planes = 10, dim = dim, tables = 4).count()
+      }
+      val planted = corpus.filter($"id" < 100)
+        .select(($"id" + 1000000L).as("id"),
+          org.apache.spark.sql.functions.transform($"vec",
+            x => x * org.apache.spark.sql.functions.lit(1.0001)).as("vec"))
+      val (tDedup, nDedup) = timed {
+        graft.dedup.Dedup.embeddingNearDuplicates(corpus.unionByName(planted),
+          "id", "vec", threshold = 0.99, planes = 8, dim = dim).count()
+      }
+      corpus.unpersist()
+      s""""embedding768":{"dim":$dim,"n_vectors":$nVec,"n_queries":$nQ,""" +
+        s""""ivf_build_secs":${f"$tBuild%.2f"},"ivf_topk_secs":${f"$tIvf%.2f"},""" +
+        s""""ivf_rows":$nIvf,"lsh_topk_secs":${f"$tLsh%.2f"},"lsh_rows":$nLsh,""" +
+        s""""embdedup_secs":${f"$tDedup%.2f"},"embdedup_pairs":$nDedup}"""
+    } catch { case e: Throwable =>
+      s""""embedding768":{"error":"${e.getClass.getSimpleName}"}"""
+    }
+
     // one-time setup (untimed): materialize the synthetic crawl tables
     val tmp = (if (new java.io.File("/dev/shm").isDirectory)
       java.nio.file.Files.createTempDirectory(
@@ -300,6 +353,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failed,"sf":"$sfDir","cores":$cpus,""" +
+        embJson + "," +
         headJson + "," +
         s""""scaling":{"reps":$reps,"fresh_jvm_per_level":true,""" +
         s""""pairs":$pairJson}}""")

@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Driver entries for the multimodal plumbing (binary media columns,
   * batched decode, resize, frame sampling). Input is the deterministic
-  * synthetic media table (no media codecs ship in this container — the
-  * decode step is a declared stub; see Multimodal.decodeStub), so these
-  * are rows-only checks; numerical behavior is pinned in DedupAnnSpec.
+  * synthetic media table. The IMAGE path decodes real PNG payloads via
+  * javax.imageio; audio/video decode remains a declared stub (no such
+  * codecs ship in this container; see Multimodal.decodeStub). Rows-only
+  * checks here; numerical behavior is pinned in MultimodalSpec.
   */
 object MultimodalQueries {
 

@@ -83,6 +83,35 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("relational autogen's membership join is a broadcast hash join, " +
+    "not a nested loop") {
+    // the interval-containment membership join carries equi keys
+    // (parameter_id, baseline) with the range as a join filter — Spark
+    // must extract them into a BroadcastHashJoin; a BNLJ would scan all
+    // series per interval row at crawl scale
+    val study = graft.ctas.FixtureGen.generate(spark, seed = 3L)
+    val coverage = study.input.data
+      .filter(org.apache.spark.sql.functions.col("result").isNotNull)
+      .withColumn("has_baseline_value", org.apache.spark.sql.functions.lit("No"))
+      .select("parameter_id", "subject_id", "timepoint_rank", "has_baseline_value")
+      .distinct()
+    val params = study.input.parameters
+      .withColumn("time_point_count_min", org.apache.spark.sql.functions.lit(3.0))
+      .withColumn("subject_count_min", org.apache.spark.sql.functions.lit(3.0))
+      .withColumn("max_share_missing", org.apache.spark.sql.functions.lit(0.5))
+      .withColumn("generate_change_from_baseline", org.apache.spark.sql.functions.lit(false))
+      .withColumn("use_only_custom_timeseries", org.apache.spark.sql.functions.lit(false))
+    val (_, mem) = graft.ctas.SeriesGen.autogenerate(
+      spark, coverage, params, study.input.subjects, graft.ctas.CtasConfig())
+    mem.collect()
+    val exec = mem.queryExecution.executedPlan.toString
+    assert(!exec.contains("BroadcastNestedLoopJoin"),
+      "membership join degenerated to a nested loop:\n" + exec.take(1200))
+    assert(!exec.contains("CartesianProduct"))
+    assert(exec.contains("BroadcastHashJoin"),
+      "expected a broadcast hash join on (parameter_id, baseline):\n" + exec.take(1200))
+  }
+
   test("jaccardVerify's candidate semi-join reuses the candidate exchange") {
     // nearDuplicates references the LSH candidate subplan three times
     // (pairs + the two ids of the semi-join filter). ReuseExchange must

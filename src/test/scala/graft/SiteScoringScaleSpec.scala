@@ -53,6 +53,7 @@ class SiteScoringScaleSpec extends GraftSuite {
       .select(col("pvalue_kstest_logp")).collect()(0).getDouble(0)
     assert(site0 > 3.0, s"planted shift should stay detectable, logp=$site0")
     out.unpersist()
+    spark.catalog.clearCache() // suite shares one JVM — drop the 1e5-row blocks
   }
 
   test("KS scoring: cap is a no-op below the threshold (outputs unchanged)") {
