@@ -200,12 +200,13 @@ object Dedup {
   // ------------------------------------------------- embedding cosine
 
   /** cosine similarity of two array<double> columns, expression-only */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
-    try_divide(dot, na * nb)
-  }
+  /** exact cosine similarity — a native codegen'd single-loop expression
+    * (graft.functions.CosineSim). The previous zip_with + 3×aggregate
+    * HOF form was interpreted per pair (fresh array + boxed lambda calls
+    * per element) and dominated in-bucket verification at dim=768.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.MatVec.cosineSim(a, b)
 
   /** embedding near-duplicates above a cosine threshold, bucketed by
     * random-hyperplane LSH signatures (see Ann.hyperplaneSignature) to

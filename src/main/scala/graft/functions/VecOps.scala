@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
@@ -46,6 +46,32 @@ object VecOps {
       p += 1
     }
     out
+  }
+
+  /** Cosine similarity of two double arrays, boxed so the expression can
+    * emit SQL NULL on a zero norm (the try_divide convention of the old
+    * zip_with/aggregate form). Accumulation is left-to-right per
+    * accumulator — bit-identical to the sequential `aggregate` HOFs it
+    * replaces. Length mismatch → null (zip_with's null-extension made
+    * the old dot null there). NaN inputs propagate as NaN, not null.
+    */
+  def cosineSimBoxed(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) null else java.lang.Double.valueOf(dot / d)
   }
 
   /** indices of the `take` highest-dot rows, ordered by (-dot, row) —
@@ -125,6 +151,46 @@ case class TopCells(child: Expression, mat: IndexedSeq[Double], dim: Int, take: 
     copy(child = newChild)
 }
 
+/** exact cosine similarity as ONE codegen'd loop over both arrays —
+  * replaces the interpreted zip_with + 3×aggregate HOF form that
+  * dominated in-bucket verification (a fresh 768-element array plus
+  * ~4×dim boxed lambda calls PER CANDIDATE PAIR; measured ~10x slower
+  * at dim=768). NULL on zero norm / length mismatch, NaN propagates —
+  * the old form's exact semantics, same FP accumulation order.
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_sim requires (array<double>, array<double>), got $other")
+    }
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    val r = VecOps.cosineSimBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r == null) null else r.doubleValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("cos")
+      s"""
+         |java.lang.Double $r = graft.functions.VecOps.cosineSimBoxed($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
 object MatVec {
   import org.apache.spark.sql.graftbridge.ColumnBridge._
 
@@ -137,4 +203,8 @@ object MatVec {
   /** nearest centroid row (argmax dot, ties to the lowest row index) */
   def argMaxCell(vec: Column, mat: IndexedSeq[Double], dim: Int): Column =
     org.apache.spark.sql.functions.element_at(topCells(vec, mat, dim, 1), 1)
+
+  /** native exact cosine similarity (see [[CosineSim]]) */
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
 }

@@ -101,8 +101,22 @@ class PlanSpec extends GraftSuite {
       .withColumn("max_share_missing", org.apache.spark.sql.functions.lit(0.5))
       .withColumn("generate_change_from_baseline", org.apache.spark.sql.functions.lit(false))
       .withColumn("use_only_custom_timeseries", org.apache.spark.sql.functions.lit(false))
-    val (_, mem) = graft.ctas.SeriesGen.autogenerate(
-      spark, coverage, params, study.input.subjects, graft.ctas.CtasConfig())
+    // autogenerate() checkpoints membership (its executed plan is then a
+    // scan), so assert on the join as built: intervals ⋈ a literal defs
+    // relation — the exact shape autogenerate uses pre-checkpoint
+    import spark.implicits._
+    val (_, intervals) = graft.ctas.SeriesGen.autogenSummary(
+      coverage, params, study.input.subjects, "consecutive")
+    val defsSmall = org.apache.spark.sql.functions.broadcast(
+      Seq(("param1", "original", 3L, "ts_1_autogen_original"))
+        .toDF("parameter_id", "baseline", "prefix_len", "timeseries_id"))
+    val mem = intervals
+      .join(defsSmall, Seq("parameter_id", "baseline"))
+      .filter(org.apache.spark.sql.functions.col("lmin") <=
+        org.apache.spark.sql.functions.col("prefix_len") &&
+        org.apache.spark.sql.functions.col("prefix_len") <=
+          org.apache.spark.sql.functions.col("lmax"))
+      .select("timeseries_id", "subject_id")
     mem.collect()
     val exec = mem.queryExecution.executedPlan.toString
     assert(!exec.contains("BroadcastNestedLoopJoin"),
