@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * The IMAGE path uses a REAL codec (VERDICT r03 "Next round" #9):
   * `javax.imageio` ships with JDK 17, so image rows carry actual PNG
   * payloads, and decode / resize run through ImageIO + pixel rasters.
-  * AUDIO/VIDEO decode remains a declared STUB in this container (no
-  * audio/video codecs ship with /opt/spark/jars): `decodeStub` produces
+  * The AUDIO path also uses a REAL codec: `javax.sound.sampled`
+  * (WAV/RIFF PCM) ships with JDK 17, so audio rows carry actual WAV
+  * payloads, and decode / resample run through AudioSystem.
+  * VIDEO decode remains a declared STUB in this container (no video
+  * codec ships with JDK 17 or /opt/spark/jars): `decodeStub` produces
   * a deterministic fake decode from the bytes. Everything around it —
   * schema, binary handling, batch shape, partition parallelism, frame
   * sampling — is real and tested; swapping `decodeStub` for a JNI codec
@@ -77,9 +80,74 @@ object Multimodal {
       }
   }
 
+  // ------------------------------------------------------- audio codec
+
+  /** WAV-encode a mono PCM16 sample buffer (RIFF/WAVE, little-endian).
+    * Pure header+payload byte layout per the public RIFF spec — readable
+    * back through the JDK's real parser (`decodeAudio`).
+    */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Decode an audio payload to (sampleRate, mono PCM16 samples) through
+    * the JDK's real WAV codec (`javax.sound.sampled.AudioSystem`); None
+    * when the bytes are not a parseable audio stream (callers fall back
+    * to the stub so one bad row can't fail a batch).
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Array[Short])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+        else {
+          val raw = in.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(raw).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val samples = new Array[Short](raw.length / 2)
+          var i = 0
+          while (i < samples.length) { samples(i) = bb.getShort(); i += 1 }
+          Some((fmt.getSampleRate.toInt, samples))
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Map PCM16 samples to their upper bytes (coarse 8-bit amplitude) —
+    * the byte stream both audio feature extraction and the histogram
+    * featurizer run on after a real decode.
+    */
+  private def sampleHighBytes(samples: Array[Short]): Array[Byte] = {
+    val out = new Array[Byte](samples.length)
+    var i = 0
+    while (i < samples.length) { out(i) = (samples(i) >> 8).toByte; i += 1 }
+    out
+  }
+
   /** Deterministic synthetic media table. Image rows carry a REAL PNG
-    * payload (deterministic gradient + noise pixels); audio/video rows
-    * carry raw bytes for the stub path.
+    * payload (deterministic gradient + noise pixels); audio rows carry a
+    * REAL WAV payload (deterministic sine + noise at 8 kHz, w·h samples);
+    * video rows carry raw bytes for the stub path.
     */
   def synthMedia(spark: SparkSession, n: Long, partitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
@@ -98,6 +166,16 @@ object Multimodal {
           i += 1
         }
         MediaRow(id, kind, encodePng(w, h, px), w, h, frames)
+      } else if (kind == "audio") {
+        // deterministic tone + noise; sample count = w·h so the resize
+        // semantics (cap the "side") carry over to sample-count capping
+        val n = w * h
+        val freq = 200.0 + (id % 17) * 60.0
+        val samples = Array.tabulate(n) { i =>
+          val tone = math.sin(2 * math.Pi * freq * i / 8000.0)
+          ((tone * 12000) + rng.nextInt(2048) - 1024).toShort
+        }
+        MediaRow(id, kind, encodeWav(8000, samples), w, h, frames)
       } else {
         val bytes = new Array[Byte](w * h)
         rng.nextBytes(bytes)
@@ -120,17 +198,19 @@ object Multimodal {
     hist.map(_ / n)
   }
 
-  /** STUB decode for audio/video payloads: a deterministic 8-dim
-    * "feature vector" from the raw bytes. Replace with a real codec to
-    * decode actual media; the signature and batch shape stay the same.
+  /** STUB decode for video payloads (and the corrupt-row fallback): a
+    * deterministic 8-dim "feature vector" from the raw bytes. Replace
+    * with a real codec to decode actual media; the signature and batch
+    * shape stay the same.
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = histFeatures(bytes)
 
   /** Batched decode/feature-extract: processes each partition in fixed-
     * size batches (the mapInPandas batch shape) so a real codec can
     * allocate per-batch buffers once. Image rows go through ImageIO
-    * (real PNG decode, dimensions re-read from the payload); audio/video
-    * fall back to the stub.
+    * (real PNG decode, dimensions re-read from the payload); audio rows
+    * through AudioSystem (real WAV decode, features over decoded sample
+    * amplitudes); video falls back to the stub.
     */
   def decodeFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
@@ -138,10 +218,18 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // per-batch setup would go here (codec contexts, buffers)
         batch.iterator.map { r =>
-          val decoded = if (r.kind == "image") decodeImage(r.bytes) else None
+          val decoded = r.kind match {
+            case "image" => decodeImage(r.bytes)
+              .map { case (w, h, px) => (w, h, histFeatures(px)) }
+            case "audio" => decodeAudio(r.bytes)
+              .map { case (_, s) =>
+                (r.width, r.height, histFeatures(sampleHighBytes(s)))
+              }
+            case _ => None
+          }
           decoded match {
-            case Some((w, h, px)) =>
-              DecodedRow(r.media_id, r.kind, w, h, r.n_frames, histFeatures(px))
+            case Some((w, h, feats)) =>
+              DecodedRow(r.media_id, r.kind, w, h, r.n_frames, feats)
             case None =>
               DecodedRow(r.media_id, r.kind, r.width, r.height, r.n_frames,
                 decodeStub(r.bytes))
@@ -152,7 +240,9 @@ object Multimodal {
   }
 
   /** Resize: image rows are really resized — PNG decode, 2-D nearest-
-    * neighbor downsample in pixel space, PNG re-encode. Audio/video keep
+    * neighbor downsample in pixel space, PNG re-encode. Audio rows are
+    * really resampled — WAV decode, 1-D nearest-neighbor resample to
+    * w·h samples, WAV re-encode (sample rate preserved). Video keeps
     * the positional byte subsample (stub resampler; bytes-per-sample
     * shape preserved).
     */
@@ -164,8 +254,10 @@ object Multimodal {
       else {
         val w = math.max(1, (r.width * scale).toInt)
         val h = math.max(1, (r.height * scale).toInt)
-        (if (r.kind == "image") decodeImage(r.bytes) else None) match {
-          case Some((sw, sh, px)) =>
+        val imageDecoded = if (r.kind == "image") decodeImage(r.bytes) else None
+        val audioDecoded = if (r.kind == "audio") decodeAudio(r.bytes) else None
+        (imageDecoded, audioDecoded) match {
+          case (Some((sw, sh, px)), _) =>
             val out = new Array[Byte](w * h)
             var y = 0
             while (y < h) {
@@ -179,7 +271,17 @@ object Multimodal {
               y += 1
             }
             r.copy(bytes = encodePng(w, h, out), width = w, height = h)
-          case None =>
+          case (_, Some((rate, samples))) =>
+            val n = w * h
+            val out = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              out(i) = samples(math.min(samples.length - 1,
+                (i.toDouble * samples.length / n).toInt))
+              i += 1
+            }
+            r.copy(bytes = encodeWav(rate, out), width = w, height = h)
+          case _ =>
             val out = new Array[Byte](w * h)
             var i = 0
             while (i < out.length) {

@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 /** Driver entries for the multimodal plumbing (binary media columns,
   * batched decode, resize, frame sampling). Input is the deterministic
   * synthetic media table. The IMAGE path decodes real PNG payloads via
-  * javax.imageio; audio/video decode remains a declared stub (no such
-  * codecs ship in this container; see Multimodal.decodeStub). Rows-only
+  * javax.imageio; the AUDIO path decodes real WAV payloads via
+  * javax.sound.sampled; video decode remains a declared stub (no video
+  * codec ships in this container; see Multimodal.decodeStub). Rows-only
   * checks here; numerical behavior is pinned in MultimodalSpec.
   */
 object MultimodalQueries {

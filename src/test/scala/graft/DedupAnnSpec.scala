@@ -258,9 +258,40 @@ class MultimodalSpec extends GraftSuite {
         val (w, h, px) = Multimodal.decodeImage(r.bytes).get
         assert((w, h) === (r.width, r.height))
         assert(px.length === r.width * r.height)
+      } else if (r.kind == "audio") {
+        // audio payloads are real WAVs: re-decode, w·h samples at 8 kHz
+        val (rate, samples) = Multimodal.decodeAudio(r.bytes).get
+        assert(rate === 8000)
+        assert(samples.length === r.width * r.height)
       } else {
         assert(r.bytes.length === r.width * r.height)
       }
+    }
+  }
+
+  test("audio rows decode through the REAL codec (javax.sound WAV " +
+    "roundtrip)") {
+    // encode a known ramp, decode through AudioSystem, recover exactly
+    val samples = Array.tabulate(64)(i => (i * 512 - 16384).toShort)
+    val wav = Multimodal.encodeWav(8000, samples)
+    // a real RIFF/WAVE container, not a raw buffer
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val (rate, back) = Multimodal.decodeAudio(wav).get
+    assert(rate === 8000)
+    assert(back.toSeq === samples.toSeq)
+    // corrupt payloads fall back to None (row-level stub fallback)
+    assert(Multimodal.decodeAudio(Array.fill[Byte](32)(7)).isEmpty)
+    // pipeline path: audio features come from DECODED sample amplitudes —
+    // different from histogramming the WAV byte stream (the stub path)
+    val media = Multimodal.synthMedia(spark, 30, partitions = 2)
+    val audio = media.collect().filter(_.kind == "audio")
+    assert(audio.nonEmpty)
+    val feats = Multimodal.decodeFeatures(media).collect()
+      .map(r => r.media_id -> r.features).toMap
+    audio.foreach { r =>
+      assert(feats(r.media_id).toSeq !== Multimodal.decodeStub(r.bytes).toSeq,
+        s"media ${r.media_id}: features must come from decoded samples")
     }
   }
 
