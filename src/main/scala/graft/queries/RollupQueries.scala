@@ -118,6 +118,38 @@ object RollupQueries {
              |FROM dense""".stripMargin)
     ),
     Q(
+      // fused one-shuffle densify+LOCF (GapFill.densifyLocf): must equal
+      // the compositional grid-join form above value-for-value, so it
+      // shares that entry's DuckDB oracle verbatim
+      "q_gapfill_locf_fused",
+      (s, d) => {
+        val daily = T.events(s, d)
+          .filter(col("user_id") < 30)
+          .select(col("user_id"),
+            floor((unix_timestamp(col("ts")) - epoch20240101) / 86400L).as("bucket"),
+            col("value"))
+          .groupBy("user_id", "bucket").agg(avg(col("value")).as("v"))
+        GapFill.densifyLocf(daily, Seq("user_id"), "bucket", "v", "v_filled")
+          .select(col("user_id"), col("bucket"), round(col("v_filled"), 6).as("v_filled"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id,
+             |    CAST(floor((epoch(ts) - 1704067200) / 86400) AS BIGINT) AS bucket,
+             |    avg(value) AS v
+             |  FROM events WHERE user_id < 30 GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT user_id, unnest(generate_series(min(bucket), max(bucket))) AS bucket
+             |  FROM daily GROUP BY user_id),
+             |dense AS (
+             |  SELECT g.user_id, g.bucket, d.v
+             |  FROM grid g LEFT JOIN daily d USING (user_id, bucket))
+             |SELECT user_id, bucket,
+             |  round(last_value(v IGNORE NULLS) OVER (
+             |    PARTITION BY user_id ORDER BY bucket
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
+             |FROM dense""".stripMargin)
+    ),
+    Q(
       // linear interpolation gap-fill: engine vs closed-form SQL
       "q_gapfill_linear",
       (s, d) => {

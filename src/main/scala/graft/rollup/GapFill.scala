@@ -32,6 +32,36 @@ object GapFill {
     df.withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Densify + LOCF fused into ONE window pass — no grid join. Each
+    * observed row explodes into its series' buckets
+    * [bucket, next_bucket − 1] (the last row emits just its own bucket),
+    * carrying the last non-null value forward. Output keys and `outCol`
+    * values equal `locf(densify(df))` exactly (RollupSpec equivalence
+    * test). Plan shape: the compositional form costs a per-series
+    * min/max aggregation plus a shuffle JOIN of the full table against
+    * the exploded grid, then the LOCF window's own
+    * (series, bucket-sorted) exchange — three shuffles of which one
+    * moves the whole table twice; here the gap rows are generated AFTER
+    * the single exchange+sort that LOCF needs anyway, so the whole
+    * operator is one shuffle. At 10^12 input rows the difference is an
+    * entire extra pass of the table through the shuffle tier.
+    */
+  def densifyLocf(df: DataFrame, seriesCols: Seq[String], bucketCol: String,
+      valueCol: String, outCol: String = "value_filled"): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*).orderBy(col(bucketCol))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("__locf", last(col(valueCol), ignoreNulls = true).over(wCum))
+      .withColumn("__nb", lead(col(bucketCol), 1).over(w))
+      .withColumn("__b",
+        explode(when(col("__nb").isNotNull && col("__nb") > col(bucketCol),
+          sequence(col(bucketCol), col("__nb") - 1))
+          .otherwise(array(col(bucketCol)))))
+      .withColumn(outCol, col("__locf"))
+      .drop("__locf", "__nb", bucketCol)
+      .withColumnRenamed("__b", bucketCol)
+  }
+
   /** Linear interpolation between the nearest non-null neighbours;
     * endpoints fall back to LOCF / NOCB.
     */

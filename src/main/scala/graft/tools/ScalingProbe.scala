@@ -46,9 +46,12 @@ object ScalingProbe {
       col("series_id").startsWith("text_length") ||
         col("series_id").startsWith("quality") ||
         col("series_id").startsWith("lang_match")))
-    val dense = GapFill.locf(GapFill.densify(
+    // fused densify+LOCF: one window pass, no dense-grid join (GapFill
+    // .densifyLocf scaladoc) — was the hourly stage's second full-table
+    // shuffle
+    val dense = GapFill.densifyLocf(
       continuous.withColumn("bucket", col("hour_rank").cast("long")),
-      Seq("series_id"), "bucket", "value"), Seq("series_id"), "bucket", "value", "v")
+      Seq("series_id"), "bucket", "value", "v")
       .select(col("series_id"), col("bucket").as("hour_rank"), col("v").as("value"))
     val hourly = Tiers.hourly(
       dense.unionByName(sparse.select(col("series_id"), col("hour_rank"), col("value"))),
@@ -98,9 +101,12 @@ object ScalingProbe {
       col("series_id").startsWith("text_length") ||
         col("series_id").startsWith("quality") ||
         col("series_id").startsWith("lang_match")))
-    val dense = GapFill.locf(GapFill.densify(
+    // fused densify+LOCF: one window pass, no dense-grid join (GapFill
+    // .densifyLocf scaladoc) — was the hourly stage's second full-table
+    // shuffle
+    val dense = GapFill.densifyLocf(
       continuous.withColumn("bucket", col("hour_rank").cast("long")),
-      Seq("series_id"), "bucket", "value"), Seq("series_id"), "bucket", "value", "v")
+      Seq("series_id"), "bucket", "value", "v")
       .select(col("series_id"), col("bucket").as("hour_rank"), col("v").as("value"))
     val hourly = Tiers.hourly(
       dense.unionByName(sparse.select(col("series_id"), col("hour_rank"), col("value"))),

@@ -35,9 +35,9 @@ object StageProbe {
       t("derive")(series.count())
       val continuous = series.filter(col("series_id").startsWith("text_length") ||
         col("series_id").startsWith("quality") || col("series_id").startsWith("lang_match"))
-      val dense = GapFill.locf(GapFill.densify(
+      val dense = GapFill.densifyLocf(
         continuous.withColumn("bucket", col("hour_rank").cast("long")),
-        Seq("series_id"), "bucket", "value"), Seq("series_id"), "bucket", "value", "v")
+        Seq("series_id"), "bucket", "value", "v")
       t("densify+locf")(dense.count())
       val hourly = Tiers.hourly(dense.select(col("series_id"),
         col("bucket").as("hour_rank"), col("v").as("value")), "series_id", "hour_rank", "value")

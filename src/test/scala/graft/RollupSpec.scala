@@ -141,6 +141,45 @@ class GapFillSpec extends GraftSuite {
     assert(out.toSeq === Seq(10.0, 10.0, 20.0, 30.0, 40.0, 40.0))
   }
 
+  test("fused densifyLocf equals locf(densify(...)) on randomized gappy series") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val rows = for {
+        s <- 0 until 6
+        b <- 0 until 50
+        if rng.nextDouble() < 0.35
+      } yield (s"s$s", b.toLong,
+        if (rng.nextDouble() < 0.2) None else Some(rng.nextInt(100).toDouble))
+      if (rows.nonEmpty) {
+        val df = rows.toDF("series_id", "bucket", "value")
+        val compositional = GapFill.locf(
+          GapFill.densify(df, Seq("series_id"), "bucket", "value"),
+          Seq("series_id"), "bucket", "value")
+          .select("series_id", "bucket", "value_filled")
+        val fused = GapFill.densifyLocf(df, Seq("series_id"), "bucket", "value")
+          .select("series_id", "bucket", "value_filled")
+        val a = compositional.collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) -1.0e301 else r.getDouble(2))).sorted.toSeq
+        val b = fused.collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) -1.0e301 else r.getDouble(2))).sorted.toSeq
+        assert(a === b, s"trial $trial")
+      }
+    }
+  }
+
+  test("fused densifyLocf plans no join (the compositional form plans one)") {
+    val df = Seq(("s", 1L, Some(1.0)), ("s", 5L, Some(5.0)))
+      .toDF("series_id", "bucket", "value")
+    val fusedPlan = GapFill.densifyLocf(df, Seq("series_id"), "bucket", "value")
+      .queryExecution.executedPlan.toString
+    assert(!fusedPlan.contains("Join"), fusedPlan)
+    val compPlan = GapFill.locf(
+      GapFill.densify(df, Seq("series_id"), "bucket", "value"),
+      Seq("series_id"), "bucket", "value")
+      .queryExecution.executedPlan.toString
+    assert(compPlan.contains("Join"), compPlan)
+  }
+
   test("LOCF is idempotent") {
     val df = Seq(("s", 1L, Some(1.0)), ("s", 2L, None), ("s", 3L, Some(3.0)))
       .toDF("series_id", "bucket", "value")
