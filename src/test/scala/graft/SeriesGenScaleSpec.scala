@@ -92,7 +92,7 @@ class SeriesGenScaleSpec extends GraftSuite {
       val params = mkParams(mm)
       val cfg = CtasConfig(autogenerate = mode, optimizeSitesAndPatients = optimize)
       val (dk, mk) = SeriesGen.autogenerateKernelPath(spark, cov, params, subjects, cfg)
-      val (dr, mr) = SeriesGen.autogenerate(spark, cov, params, subjects, cfg)
+      val (dr, mr) = SeriesGen.autogenerateRelational(spark, cov, params, subjects, cfg)
       val ctx = s"mode=$mode optimize=$optimize mm=$mm"
       assert(collectDefs(dr) === collectDefs(dk), s"defs diverged: $ctx")
       assert(collectMem(mr) === collectMem(mk), s"membership diverged: $ctx")
@@ -122,7 +122,7 @@ class SeriesGenScaleSpec extends GraftSuite {
       spark.createDataFrame(Seq(Row("p1", 3.0, 3.0, 0.25, false, false)).asJava, schema)
     }
     val cfg = CtasConfig(autogenerate = "consecutive")
-    val (dr, mr) = SeriesGen.autogenerate(spark, mkCoverage(rows), params, subjects, cfg)
+    val (dr, mr) = SeriesGen.autogenerateRelational(spark, mkCoverage(rows), params, subjects, cfg)
     val (dk, mk) = SeriesGen.autogenerateKernelPath(spark, mkCoverage(rows), params, subjects, cfg)
     assert(collectDefs(dr) === collectDefs(dk))
     assert(collectMem(mr) === collectMem(mk))
@@ -165,8 +165,22 @@ class SeriesGenScaleSpec extends GraftSuite {
       s"fold input must be <= #ranks rows per group: ${perGroup.toSeq}")
     // and the series still come out right
     val cfg = CtasConfig(autogenerate = "consecutive")
-    val (dr, mr) = SeriesGen.autogenerate(spark, mkCoverage(rows), params, subjects, cfg)
+    val (dr, mr) = SeriesGen.autogenerateRelational(spark, mkCoverage(rows), params, subjects, cfg)
     assert(dr.count() >= 1)
     assert(mr.count() >= nSubj / 2)
+  }
+
+  test("size dispatch: both threshold sides of autogenerate agree") {
+    // threshold 0 forces the relational branch, the default (4M) takes
+    // the kernel branch on this small bitmap — outputs must be identical
+    val subjects = mkSubjects(25, 4)
+    val cov = mkCoverage(randomCoverage(seed = 404, nSubj = 25, nRanks = 7))
+    val params = mkParams(0.4)
+    val base = CtasConfig(autogenerate = "consecutive")
+    val (dk, mk) = SeriesGen.autogenerate(spark, cov, params, subjects, base)
+    val (dr, mr) = SeriesGen.autogenerate(spark, cov, params, subjects,
+      base.copy(autogenBitmapRowsPerTaskMax = 0L))
+    assert(collectDefs(dr) === collectDefs(dk))
+    assert(collectMem(mr) === collectMem(mk))
   }
 }
