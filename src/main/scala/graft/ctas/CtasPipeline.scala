@@ -63,7 +63,16 @@ object CtasPipeline {
 
   def processAStudy(in: CtasInput, cfg: CtasConfig): Option[CtasOutputs] = {
     val spark = in.data.sparkSession
-    SchemaCheck.validate(in, cfg)
+    // phase tags show up in the Spark UI / listeners; they also let the
+    // StudyProbe dev tool attribute wall-clock to pipeline phases
+    def phase(name: String): Unit =
+      spark.sparkContext.setJobDescription(s"ctas:$name")
+    // subjects is consulted many times (schema validation, three
+    // broadcast builds, site scoring); if the caller derives it from a
+    // fact-table distinct, every consumer would re-run that shuffle.
+    // It is per-study small (one row per subject) — pin it once.
+    val subjects = in.subjects.persist(StorageLevel.MEMORY_AND_DISK)
+    SchemaCheck.validate(in.copy(subjects = subjects), cfg)
 
     // Defaults fill (R/ctas.R:54-61). Optional columns may be missing the
     // right type when all-null; cast through double/boolean.
@@ -85,7 +94,6 @@ object CtasPipeline {
       coalesce(optCol(p0, "use_only_custom_timeseries").cast("boolean"),
         lit(false)).as("use_only_custom_timeseries"))
 
-    val subjects = in.subjects
     val data = in.data.withColumn("timepoint_rank", col("timepoint_rank").cast("double"))
     val hasBaselineCol = data.columns.contains("baseline")
     val baselineValue = if (hasBaselineCol) col("baseline").cast("double") else lit(null).cast("double")
@@ -107,9 +115,11 @@ object CtasPipeline {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    if (coverage.isEmpty) { coverage.unpersist(false); return None } // R/ctas.R:76-81
+    phase("coverage")
+    if (coverage.isEmpty) { Seq(coverage, subjects).foreach(_.unpersist(false)); return None } // R/ctas.R:76-81
 
     // ------------------------------------------------------- series defs
+    phase("autogen")
     val (autoDefs, autoMem) =
       if (cfg.autogenerate != "off")
         SeriesGen.autogenerate(spark, coverage, parameters, subjects, cfg)
@@ -157,8 +167,9 @@ object CtasPipeline {
         Seq("parameter_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    phase("defs")
     if (defs.isEmpty) { // R/ctas.R:143-148
-      Seq(coverage, defs).foreach(_.unpersist(false)); return None
+      Seq(coverage, defs, subjects).foreach(_.unpersist(false)); return None
     }
 
     // ------------------------------------------------------------ cells
@@ -199,8 +210,9 @@ object CtasPipeline {
       .join(broadcast(ncols), Seq("timeseries_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    phase("cells")
     if (liveDefs.isEmpty) {
-      Seq(coverage, defs, cells, liveDefs).foreach(_.unpersist(false)); return None
+      Seq(coverage, defs, cells, liveDefs, subjects).foreach(_.unpersist(false)); return None
     }
 
     // --------------------------------------------------- scalar features
@@ -283,12 +295,15 @@ object CtasPipeline {
         array_contains(split(col("feats"), ";"), "own_site_simil_score").as("want_oss"))
       .as[KernelIn]
 
+    // persisted: consumed twice (matrixFeats -> featuresLong AND tsoPca);
+    // without the pin the per-series kernels would run twice end-to-end
     val kernelOut = kernelIn
       .groupByKey(_.timeseries_id)
       .flatMapGroups { (ts: String, it: Iterator[KernelIn]) =>
         runMatrixKernels(ts, it.toArray)
       }
       .toDF()
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val matrixFeats = kernelOut
       .filter(col("tag").isin("lof", "own_site_simil_score"))
@@ -332,12 +347,22 @@ object CtasPipeline {
     // multi-study driver no longer accumulates pinned storage; the
     // checkpointed output blocks are freed by the ContextCleaner when the
     // outputs themselves become unreachable.
-    val outs = CtasOutputs(
-      tsoTimeseries.localCheckpoint(true),
-      tsoFeatures.localCheckpoint(true),
-      tsoPca.localCheckpoint(true),
-      tsoSiteScores.localCheckpoint(true))
-    Seq(coverage, defs, cells, liveDefs, featuresLong).foreach(_.unpersist(false))
+    phase("outputs")
+    // The four outputs share the persisted intermediates but are
+    // otherwise independent DAGs; checkpoint them concurrently so one
+    // driver plans/schedules a tail while executors run another (the
+    // block manager serializes concurrent computation of a shared cached
+    // partition, so each intermediate still computes exactly once).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val outFs = Seq(tsoTimeseries, tsoFeatures, tsoPca, tsoSiteScores)
+      .map(df => Future { df.localCheckpoint(true) })
+    val Seq(ckTimeseries, ckFeatures, ckPca, ckSiteScores) =
+      outFs.map(Await.result(_, Duration.Inf))
+    val outs = CtasOutputs(ckTimeseries, ckFeatures, ckPca, ckSiteScores)
+    Seq(coverage, defs, cells, liveDefs, featuresLong, kernelOut, subjects)
+      .foreach(_.unpersist(false))
     Some(outs)
   }
 
