@@ -45,20 +45,31 @@ object GapFill {
     * the single exchange+sort that LOCF needs anyway, so the whole
     * operator is one shuffle. At 10^12 input rows the difference is an
     * entire extra pass of the table through the shuffle tier.
+    *
+    * `fillWhen` makes the fill SELECTIVE inside the same pass: rows where
+    * it is false keep their own bucket and original value untouched (no
+    * gap rows, no LOCF). A mixed table of fillable and pass-through
+    * series (e.g. continuous metrics vs count-like metrics where a
+    * missing hour means zero) then flows through ONE window pass instead
+    * of filter-split + two branch scans + union — which at the source of
+    * a derive pipeline also removes the persist the two branches would
+    * otherwise force on their shared upstream.
     */
   def densifyLocf(df: DataFrame, seriesCols: Seq[String], bucketCol: String,
-      valueCol: String, outCol: String = "value_filled"): DataFrame = {
+      valueCol: String, outCol: String = "value_filled",
+      fillWhen: Column = lit(true)): DataFrame = {
     val w = Window.partitionBy(seriesCols.map(col): _*).orderBy(col(bucketCol))
     val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df
+      .withColumn("__fill", fillWhen)
       .withColumn("__locf", last(col(valueCol), ignoreNulls = true).over(wCum))
       .withColumn("__nb", lead(col(bucketCol), 1).over(w))
       .withColumn("__b",
-        explode(when(col("__nb").isNotNull && col("__nb") > col(bucketCol),
+        explode(when(col("__fill") && col("__nb").isNotNull && col("__nb") > col(bucketCol),
           sequence(col(bucketCol), col("__nb") - 1))
           .otherwise(array(col(bucketCol)))))
-      .withColumn(outCol, col("__locf"))
-      .drop("__locf", "__nb", bucketCol)
+      .withColumn(outCol, when(col("__fill"), col("__locf")).otherwise(col(valueCol)))
+      .drop("__fill", "__locf", "__nb", bucketCol)
       .withColumnRenamed("__b", bucketCol)
   }
 

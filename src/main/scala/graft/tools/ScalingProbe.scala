@@ -31,31 +31,24 @@ object ScalingProbe {
     */
   def pipeline(spark: SparkSession, dir: String): Long = {
     val pages = spark.read.parquet(dir)
-    // persist the derived series: BOTH the continuous (gap-filled) and
-    // sparse branches read it — without this the scan+extract+metrics
-    // derive runs twice
+    // single-pass derive -> selective gap-fill -> hourly: the derived
+    // series flow straight into the gap-fill window's exchange. Gap-fill
+    // applies only to continuous metrics (LOCF on count-like metrics is
+    // semantically wrong: a missing hour means zero pages) via the
+    // fillWhen flag of the fused densify+LOCF — the former filter-split
+    // + union shape forced a full persist of the derive output plus two
+    // cache scans; this shape needs neither (the hourly agg reuses the
+    // window's series_id partitioning, so it is still one shuffle total)
     val series = SeriesDerive.hostSeriesRich(pages)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // gap-fill only continuous metrics (LOCF on count-like metrics is
-    // semantically wrong: a missing hour means zero pages)
-    val continuous = series.filter(
+    val isContinuous =
       col("series_id").startsWith("text_length") ||
         col("series_id").startsWith("quality") ||
-        col("series_id").startsWith("lang_match"))
-    val sparse = series.filter(!(
-      col("series_id").startsWith("text_length") ||
-        col("series_id").startsWith("quality") ||
-        col("series_id").startsWith("lang_match")))
-    // fused densify+LOCF: one window pass, no dense-grid join (GapFill
-    // .densifyLocf scaladoc) — was the hourly stage's second full-table
-    // shuffle
+        col("series_id").startsWith("lang_match")
     val dense = GapFill.densifyLocf(
-      continuous.withColumn("bucket", col("hour_rank").cast("long")),
-      Seq("series_id"), "bucket", "value", "v")
+      series.withColumn("bucket", col("hour_rank").cast("long")),
+      Seq("series_id"), "bucket", "value", "v", isContinuous)
       .select(col("series_id"), col("bucket").as("hour_rank"), col("v").as("value"))
-    val hourly = Tiers.hourly(
-      dense.unionByName(sparse.select(col("series_id"), col("hour_rank"), col("value"))),
-      "series_id", "hour_rank", "value")
+    val hourly = Tiers.hourly(dense, "series_id", "hour_rank", "value")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val daily = Tiers.rollup(hourly, "hourly", "daily")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -67,7 +60,7 @@ object ScalingProbe {
     val pts = hourly.count() + daily.count() +
       Tiers.rollup(daily, "daily", "weekly").select(one)
         .unionAll(Tiers.anomalyFlags(daily).select(one)).count()
-    series.unpersist(); hourly.unpersist(); daily.unpersist()
+    hourly.unpersist(); daily.unpersist()
     pts
   }
 
@@ -89,28 +82,24 @@ object ScalingProbe {
       r
     }
     val pages = spark.read.parquet(dir)
+    // stage mode persists the derive output purely so "derive" can be
+    // timed as its own action; the headline [[pipeline]] flows it
+    // straight into the gap-fill window without materializing
     val series = SeriesDerive.hostSeriesRich(pages)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var pts = 0L
     t("derive")(series.count())
-    val continuous = series.filter(
+    val isContinuous =
       col("series_id").startsWith("text_length") ||
         col("series_id").startsWith("quality") ||
-        col("series_id").startsWith("lang_match"))
-    val sparse = series.filter(!(
-      col("series_id").startsWith("text_length") ||
-        col("series_id").startsWith("quality") ||
-        col("series_id").startsWith("lang_match")))
-    // fused densify+LOCF: one window pass, no dense-grid join (GapFill
-    // .densifyLocf scaladoc) — was the hourly stage's second full-table
-    // shuffle
+        col("series_id").startsWith("lang_match")
+    // fused densify+LOCF, selective on the continuous metrics: one
+    // window pass, no dense-grid join, no filter-split + union
     val dense = GapFill.densifyLocf(
-      continuous.withColumn("bucket", col("hour_rank").cast("long")),
-      Seq("series_id"), "bucket", "value", "v")
+      series.withColumn("bucket", col("hour_rank").cast("long")),
+      Seq("series_id"), "bucket", "value", "v", isContinuous)
       .select(col("series_id"), col("bucket").as("hour_rank"), col("v").as("value"))
-    val hourly = Tiers.hourly(
-      dense.unionByName(sparse.select(col("series_id"), col("hour_rank"), col("value"))),
-      "series_id", "hour_rank", "value")
+    val hourly = Tiers.hourly(dense, "series_id", "hour_rank", "value")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pts += t("hourly")(hourly.count())
     val daily = Tiers.rollup(hourly, "hourly", "daily")

@@ -52,6 +52,45 @@ class PlanSpec extends GraftSuite {
     assert(rs2.contains("html"))
   }
 
+  test("single-pass rollup chain: derive -> selective gap-fill -> hourly " +
+      "plans exactly one exchange (hourly agg reuses the window partitioning)") {
+    val dir = java.nio.file.Files.createTempDirectory("planpages1p").toString
+    CrawlSynth.pages(spark, 200, nHosts = 10, numPartitions = 2)
+      .write.mode("overwrite").parquet(dir)
+    val series = SeriesDerive.hostSeriesRich(spark.read.parquet(dir))
+    val isCont = col("series_id").startsWith("text_length") ||
+      col("series_id").startsWith("quality") ||
+      col("series_id").startsWith("lang_match")
+    val dense = graft.rollup.GapFill.densifyLocf(
+      series.withColumn("bucket", col("hour_rank").cast("long")),
+      Seq("series_id"), "bucket", "value", "v", isCont)
+      .select(col("series_id"), col("bucket").as("hour_rank"), col("v").as("value"))
+    val hourly = graft.rollup.Tiers.hourly(dense, "series_id", "hour_rank", "value")
+    val plan = hourly.queryExecution.executedPlan.toString
+    // full chain from raw pages: the derive's own per-(host,hour)
+    // aggregation exchange + the gap-fill window's exchange — the hourly
+    // aggregate itself adds NONE (it reuses the window's series_id
+    // partitioning), and nothing is persisted
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchanges == 2,
+      s"expected two exchanges (derive agg + window), found $nExchanges:\n$plan")
+    assert(!plan.contains("InMemoryTableScan"), "no persist in the fused chain")
+
+    // isolate gap-fill -> hourly: from an already-derived series table the
+    // whole selective-fill + hourly-tier chain is ONE exchange
+    import spark.implicits._
+    val seriesIn = Seq(("text_length|h1", 1L, 1.0), ("pages|h1", 2L, 2.0))
+      .toDF("series_id", "hour_rank", "value")
+    val dense2 = graft.rollup.GapFill.densifyLocf(
+      seriesIn.withColumn("bucket", col("hour_rank").cast("long")),
+      Seq("series_id"), "bucket", "value", "v", isCont)
+      .select(col("series_id"), col("bucket").as("hour_rank"), col("v").as("value"))
+    val plan2 = graft.rollup.Tiers.hourly(dense2, "series_id", "hour_rank", "value")
+      .queryExecution.executedPlan.toString
+    val nEx2 = "Exchange hashpartitioning".r.findAllIn(plan2).length
+    assert(nEx2 == 1, s"expected one exchange, found $nEx2:\n$plan2")
+  }
+
   test("dimension joins broadcast") {
     val plan = planOf(SparkEntry.queries("q_join_broadcast")(spark, sfTiny))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),

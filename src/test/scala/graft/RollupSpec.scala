@@ -167,6 +167,36 @@ class GapFillSpec extends GraftSuite {
     }
   }
 
+  test("selective densifyLocf (fillWhen) equals filter-split + fill + union") {
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      // even series ids are "continuous" (gap-filled), odd are sparse
+      // pass-through; both kinds carry occasional nulls
+      val rows = for {
+        s <- 0 until 8
+        b <- 0 until 40
+        if rng.nextDouble() < 0.3
+      } yield (s"s$s", b.toLong,
+        if (rng.nextDouble() < 0.2) None else Some(rng.nextInt(100).toDouble))
+      if (rows.nonEmpty) {
+        val df = rows.toDF("series_id", "bucket", "value")
+        val isCont = expr("cast(substring(series_id, 2) as int) % 2 = 0")
+        val unioned = GapFill.densifyLocf(df.filter(isCont),
+          Seq("series_id"), "bucket", "value")
+          .unionByName(df.filter(!isCont).withColumn("value_filled", col("value")))
+          .select("series_id", "bucket", "value_filled")
+        val selective = GapFill.densifyLocf(df, Seq("series_id"), "bucket",
+          "value", "value_filled", isCont)
+          .select("series_id", "bucket", "value_filled")
+        val a = unioned.collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) -1.0e301 else r.getDouble(2))).sorted.toSeq
+        val b = selective.collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) -1.0e301 else r.getDouble(2))).sorted.toSeq
+        assert(a === b, s"trial $trial")
+      }
+    }
+  }
+
   test("fused densifyLocf plans no join (the compositional form plans one)") {
     val df = Seq(("s", 1L, Some(1.0)), ("s", 5L, Some(5.0)))
       .toDF("series_id", "bucket", "value")
