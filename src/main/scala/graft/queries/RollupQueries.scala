@@ -150,6 +150,43 @@ object RollupQueries {
              |FROM dense""".stripMargin)
     ),
     Q(
+      // SELECTIVE fused densify+LOCF (densifyLocf's fillWhen flag — the
+      // headline chain's shape): even user_ids are gap-filled, odd ones
+      // pass through untouched, all in one window pass. Oracle = the
+      // filled form restricted to evens UNION the raw odds.
+      "q_gapfill_locf_selective",
+      (s, d) => {
+        val daily = T.events(s, d)
+          .filter(col("user_id") < 30)
+          .select(col("user_id"),
+            floor((unix_timestamp(col("ts")) - epoch20240101) / 86400L).as("bucket"),
+            col("value"))
+          .groupBy("user_id", "bucket").agg(avg(col("value")).as("v"))
+        GapFill.densifyLocf(daily, Seq("user_id"), "bucket", "v", "v_filled",
+          pmod(col("user_id"), lit(2)) === 0)
+          .select(col("user_id"), col("bucket"), round(col("v_filled"), 6).as("v_filled"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id,
+             |    CAST(floor((epoch(ts) - 1704067200) / 86400) AS BIGINT) AS bucket,
+             |    avg(value) AS v
+             |  FROM events WHERE user_id < 30 GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT user_id, unnest(generate_series(min(bucket), max(bucket))) AS bucket
+             |  FROM daily WHERE user_id % 2 = 0 GROUP BY user_id),
+             |dense AS (
+             |  SELECT g.user_id, g.bucket, d.v
+             |  FROM grid g LEFT JOIN daily d USING (user_id, bucket))
+             |SELECT user_id, bucket,
+             |  round(last_value(v IGNORE NULLS) OVER (
+             |    PARTITION BY user_id ORDER BY bucket
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
+             |FROM dense
+             |UNION ALL
+             |SELECT user_id, bucket, round(v, 6) AS v_filled
+             |FROM daily WHERE user_id % 2 = 1""".stripMargin)
+    ),
+    Q(
       // linear interpolation gap-fill: engine vs closed-form SQL
       "q_gapfill_linear",
       (s, d) => {
