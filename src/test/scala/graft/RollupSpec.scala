@@ -243,6 +243,40 @@ class TiersSpec extends GraftSuite {
     assert(bad.isEmpty)
   }
 
+  test("single-pass headline chain equals the persist+filter-split+union " +
+      "shape end-to-end (hourly tier rows identical)") {
+    val richPages = CrawlSynth.pages(spark, 2000, nHosts = 25, numPartitions = 4)
+    val isCont = col("series_id").startsWith("text_length") ||
+      col("series_id").startsWith("quality") ||
+      col("series_id").startsWith("lang_match")
+    // shipping shape: derive -> selective fused gap-fill -> hourly
+    val s1 = SeriesDerive.hostSeriesRich(richPages)
+    val d1 = GapFill.densifyLocf(
+      s1.withColumn("bucket", col("hour_rank").cast("long")),
+      Seq("series_id"), "bucket", "value", "v", isCont)
+      .select(col("series_id"), col("bucket").as("hour_rank"), col("v").as("value"))
+    val h1 = Tiers.hourly(d1, "series_id", "hour_rank", "value")
+    // pre-single-pass shape: persist + filter split + union
+    val s2 = SeriesDerive.hostSeriesRich(richPages).cache()
+    val cont = s2.filter(isCont)
+    val sparse = s2.filter(!isCont)
+    val d2 = GapFill.densifyLocf(
+      cont.withColumn("bucket", col("hour_rank").cast("long")),
+      Seq("series_id"), "bucket", "value", "v")
+      .select(col("series_id"), col("bucket").as("hour_rank"), col("v").as("value"))
+    val h2 = Tiers.hourly(
+      d2.unionByName(sparse.select(col("series_id"), col("hour_rank"), col("value"))),
+      "series_id", "hour_rank", "value")
+    val j = h1.alias("a").join(h2.alias("b"), Seq("series_id", "bucket"), "full")
+    val bad = j.filter(
+      col("a.n") =!= col("b.n") || col("a.min") =!= col("b.min") ||
+        col("a.max") =!= col("b.max") ||
+        abs(col("a.sum") - col("b.sum")) > lit(1e-9) * greatest(abs(col("a.sum")), lit(1.0)) ||
+        col("a.n").isNull || col("b.n").isNull)
+    assert(bad.isEmpty)
+    s2.unpersist()
+  }
+
   test("weekly rollup from daily equals weekly from hourly") {
     val daily = Tiers.rollup(hourlyT, "hourly", "daily")
     val weeklyViaDaily = Tiers.rollup(daily, "daily", "weekly")
