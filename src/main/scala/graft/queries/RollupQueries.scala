@@ -187,6 +187,37 @@ object RollupQueries {
              |FROM daily WHERE user_id % 2 = 1""".stripMargin)
     ),
     Q(
+      // backward as-of join (AsOfJoin.asof: tag-union-window, no join
+      // operator, one exchange) vs DuckDB's native ASOF LEFT JOIN: each
+      // event attaches the latest per-user daily average at or before it
+      "q_asof_join",
+      (s, d) => {
+        val ev = T.events(s, d).filter(col("user_id") < 20)
+          .select(col("user_id"),
+            unix_timestamp(col("ts")).cast("double").as("lt"), col("value"))
+        val daily = T.events(s, d).filter(col("user_id") < 20)
+          .groupBy(col("user_id"),
+            (floor((unix_timestamp(col("ts")) - epoch20240101) / 86400L) * 86400L +
+              epoch20240101).as("rt"))
+          .agg(round(avg(col("value")), 6).as("daily_avg"))
+        graft.rollup.AsOfJoin.asof(ev, daily, Seq("user_id"), "lt", "rt",
+          Seq("daily_avg"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(epoch(ts) AS DOUBLE) AS lt, value
+             |  FROM events WHERE user_id < 20),
+             |daily AS (
+             |  SELECT user_id,
+             |    CAST(floor((epoch(ts) - 1704067200) / 86400) AS BIGINT) * 86400
+             |      + 1704067200 AS rt,
+             |    round(avg(value), 6) AS daily_avg
+             |  FROM events WHERE user_id < 20 GROUP BY 1, 2)
+             |SELECT e.user_id, e.lt, e.value, d.daily_avg,
+             |  CAST(d.rt AS DOUBLE) AS asof_time
+             |FROM ev e ASOF LEFT JOIN daily d
+             |  ON e.user_id = d.user_id AND e.lt >= d.rt""".stripMargin)
+    ),
+    Q(
       // linear interpolation gap-fill: engine vs closed-form SQL
       "q_gapfill_linear",
       (s, d) => {
