@@ -194,7 +194,7 @@ object RollupQueries {
       (s, d) => {
         val ev = T.events(s, d).filter(col("user_id") < 20)
           .select(col("user_id"),
-            unix_timestamp(col("ts")).cast("double").as("lt"), col("value"))
+            col("ts").cast("timestamp").cast("double").as("lt"), col("value"))
         val daily = T.events(s, d).filter(col("user_id") < 20)
           .groupBy(col("user_id"),
             (floor((unix_timestamp(col("ts")) - epoch20240101) / 86400L) * 86400L +
@@ -216,6 +216,69 @@ object RollupQueries {
              |  CAST(d.rt AS DOUBLE) AS asof_time
              |FROM ev e ASOF LEFT JOIN daily d
              |  ON e.user_id = d.user_id AND e.lt >= d.rt""".stripMargin)
+    ),
+    Q(
+      // forward as-of: each event attaches the NEXT per-user daily
+      // average at or after it (DuckDB ASOF with l.t <= r.t)
+      "q_asof_join_forward",
+      (s, d) => {
+        val ev = T.events(s, d).filter(col("user_id") < 20)
+          .select(col("user_id"),
+            col("ts").cast("timestamp").cast("double").as("lt"), col("value"))
+        val daily = T.events(s, d).filter(col("user_id") < 20)
+          .groupBy(col("user_id"),
+            (floor((unix_timestamp(col("ts")) - epoch20240101) / 86400L) * 86400L +
+              epoch20240101).as("rt"))
+          .agg(round(avg(col("value")), 6).as("daily_avg"))
+        graft.rollup.AsOfJoin.asof(ev, daily, Seq("user_id"), "lt", "rt",
+          Seq("daily_avg"), direction = "forward")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(epoch(ts) AS DOUBLE) AS lt, value
+             |  FROM events WHERE user_id < 20),
+             |daily AS (
+             |  SELECT user_id,
+             |    CAST(floor((epoch(ts) - 1704067200) / 86400) AS BIGINT) * 86400
+             |      + 1704067200 AS rt,
+             |    round(avg(value), 6) AS daily_avg
+             |  FROM events WHERE user_id < 20 GROUP BY 1, 2)
+             |SELECT e.user_id, e.lt, e.value, d.daily_avg,
+             |  CAST(d.rt AS DOUBLE) AS asof_time
+             |FROM ev e ASOF LEFT JOIN daily d
+             |  ON e.user_id = d.user_id AND e.lt <= d.rt""".stripMargin)
+    ),
+    Q(
+      // gap-based sessionization (Sessionize.stats, one window pass):
+      // per-user sessions over the event stream with a 1-hour gap,
+      // checked against the same lag+cumsum construction in DuckDB SQL
+      "q_sessionize",
+      (s, d) => {
+        val ev = T.events(s, d).filter(col("user_id") < 50)
+          // ts cast to double keeps the micros exactly like DuckDB's
+          // epoch(); whole-second truncation would move session
+          // boundaries whose gap straddles 3600 by under a second
+          .select(col("user_id"), col("ts").cast("timestamp").cast("double").as("t"))
+        graft.rollup.Sessionize.stats(ev, Seq("user_id"), "t", gap = 3600.0)
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(epoch(ts) AS DOUBLE) AS t
+             |  FROM events WHERE user_id < 50),
+             |m AS (
+             |  SELECT user_id, t,
+             |    CASE WHEN lag(t) OVER w IS NULL
+             |           OR t - lag(t) OVER w > 3600 THEN 1 ELSE 0 END AS nw
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+             |s AS (
+             |  SELECT user_id, t,
+             |    sum(nw) OVER (PARTITION BY user_id ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+             |      AS session_id
+             |  FROM m)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  min(t) AS session_start, max(t) AS session_end,
+             |  max(t) - min(t) AS duration
+             |FROM s GROUP BY 1, 2""".stripMargin)
     ),
     Q(
       // linear interpolation gap-fill: engine vs closed-form SQL

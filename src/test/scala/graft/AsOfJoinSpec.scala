@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 class AsOfJoinSpec extends GraftSuite {
   import spark.implicits._
 
-  test("asof equals per-row brute force on randomized keyed series") {
+  test("asof equals per-row brute force on randomized keyed series " +
+      "(backward, forward, nearest; with and without tolerance)") {
     val rng = new scala.util.Random(23)
-    for (trial <- 1 to 3) {
+    for (trial <- 1 to 3; dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(50.0))) {
       val leftRows = for {
         k <- 0 until 5; i <- 0 until 30
         if rng.nextDouble() < 0.6
@@ -21,7 +23,8 @@ class AsOfJoinSpec extends GraftSuite {
       val left = leftRows.toDF("key", "lt", "id")
       val right = rightRows.toDF("key", "rt", "rv")
 
-      val got = AsOfJoin.asof(left, right, Seq("key"), "lt", "rt", Seq("rv"))
+      val got = AsOfJoin.asof(left, right, Seq("key"), "lt", "rt", Seq("rv"),
+        tolerance = tol, direction = dir)
         .select("key", "lt", "id", "rv", "asof_time")
         .collect()
         .map(r => (r.getString(0), r.getDouble(1), r.getInt(2),
@@ -29,15 +32,29 @@ class AsOfJoinSpec extends GraftSuite {
           if (r.isNullAt(4)) null else r.getDouble(4)))
         .toSet
 
+      def pick(k: String, lt: Double): Option[(String, Double, Double)] = {
+        def ok(d: Double) = tol.forall(d <= _)
+        val back = rightRows.filter(r => r._1 == k && r._2 <= lt && ok(lt - r._2))
+          .sortBy(_._2).lastOption
+        val fwd = rightRows.filter(r => r._1 == k && r._2 >= lt && ok(r._2 - lt))
+          .sortBy(_._2).headOption
+        dir match {
+          case "backward" => back
+          case "forward"  => fwd
+          case _ => (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (lt - b._2 <= f._2 - lt) Some(b) else Some(f)
+            case (b, f) => b.orElse(f)
+          }
+        }
+      }
       val expect = leftRows.map { case (k, lt, id) =>
-        val cands = rightRows.filter(r => r._1 == k && r._2 <= lt)
-        if (cands.isEmpty) (k, lt, id, null, null)
-        else {
-          val m = cands.maxBy(_._2)
-          (k, lt, id, m._3.asInstanceOf[Any], m._2.asInstanceOf[Any])
+        pick(k, lt) match {
+          case Some(m) => (k, lt, id, m._3.asInstanceOf[Any], m._2.asInstanceOf[Any])
+          case None    => (k, lt, id, null, null)
         }
       }.toSet
-      assert(got === expect, s"trial $trial")
+      assert(got === expect, s"trial $trial dir $dir tol $tol")
     }
   }
 
