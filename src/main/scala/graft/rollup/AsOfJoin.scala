@@ -59,13 +59,13 @@ object AsOfJoin {
     // one unioned relation; left rows carry nulls in the right value slots
     val taggedRight = right.select(
       keys.map(col) ++
-        Seq(col(rightTime).cast("double").as("__t"), lit(0).as("__side")) ++
+        Seq(TimeCols.epochSeconds(right, rightTime).as("__t"), lit(0).as("__side")) ++
         valueCols.map(col) ++
         leftCols.filterNot(keys.contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
       keys.map(col) ++
-        Seq(col(leftTime).cast("double").as("__t"), lit(1).as("__side")) ++
+        Seq(TimeCols.epochSeconds(left, leftTime).as("__t"), lit(1).as("__side")) ++
         valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
         leftCols.filterNot(keys.contains).map(col): _*)
 

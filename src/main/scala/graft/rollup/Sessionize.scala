@@ -21,25 +21,29 @@ object Sessionize {
   /** Adds `outCol`: a per-key 0-based session index. */
   def assign(df: DataFrame, keys: Seq[String], timeCol: String, gap: Double,
       outCol: String = "session_id"): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(timeCol))
+    val t = TimeCols.epochSeconds(df, timeCol) // timestamp inputs welcome
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(t)
     val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df
-      .withColumn("__prev_t", lag(col(timeCol), 1).over(w))
+      .withColumn("__t", t)
+      .withColumn("__prev_t", lag(col("__t"), 1).over(w))
       .withColumn("__new",
-        when(col("__prev_t").isNull ||
-          col(timeCol).cast("double") - col("__prev_t").cast("double") > gap, 1L)
+        when(col("__prev_t").isNull || col("__t") - col("__prev_t") > gap, 1L)
           .otherwise(0L))
       .withColumn(outCol, sum(col("__new")).over(wCum) - 1)
-      .drop("__prev_t", "__new")
+      .drop("__t", "__prev_t", "__new")
   }
 
   /** Per-(key, session) summary: event count, start, end, duration. */
-  def stats(df: DataFrame, keys: Seq[String], timeCol: String, gap: Double): DataFrame =
-    assign(df, keys, timeCol, gap)
+  def stats(df: DataFrame, keys: Seq[String], timeCol: String, gap: Double): DataFrame = {
+    val assigned = assign(df, keys, timeCol, gap)
+    val t = TimeCols.epochSeconds(assigned, timeCol)
+    assigned
       .groupBy((keys :+ "session_id").map(col): _*)
       .agg(
         count(lit(1)).as("n_events"),
-        min(col(timeCol)).cast("double").as("session_start"),
-        max(col(timeCol)).cast("double").as("session_end"))
+        min(t).as("session_start"),
+        max(t).as("session_end"))
       .withColumn("duration", col("session_end") - col("session_start"))
+  }
 }

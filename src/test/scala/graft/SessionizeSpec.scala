@@ -55,6 +55,21 @@ class SessionizeSpec extends GraftSuite {
     assert(out.toSeq === Seq((0L, 2L, 0.0, 10.0, 10.0), (1L, 1L, 100.0, 100.0, 0.0)))
   }
 
+  test("timestamp time columns are accepted (normalized to epoch seconds)") {
+    val df = Seq(("u1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 00:00:10")),
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 02:00:00")))
+      .toDF("user", "ts")
+    val out = Sessionize.stats(df, Seq("user"), "ts", gap = 3600.0)
+      .orderBy("session_id").select("session_id", "n_events", "duration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((0L, 2L, 10.0), (1L, 1L, 0.0)))
+    // NTZ flavour too (the ANSI cast trap: NTZ has no direct double cast)
+    val ntz = df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    assert(Sessionize.assign(ntz, Seq("user"), "ts", 3600.0)
+      .where(col("session_id") === 1).count() === 1)
+  }
+
   test("plans one exchange (lag and running sum share the sort)") {
     val df = Seq(("u1", 0.0)).toDF("user", "t")
     val plan = Sessionize.assign(df, Seq("user"), "t", 30.0)
