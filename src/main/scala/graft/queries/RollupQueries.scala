@@ -248,6 +248,40 @@ object RollupQueries {
              |  ON e.user_id = d.user_id AND e.lt <= d.rt""".stripMargin)
     ),
     Q(
+      // point-in-interval join (IntervalJoin: bucketized equi-join, no
+      // nested loop): count each user's events inside that user's
+      // per-day 2-hour opening window, vs a plain BETWEEN join in DuckDB
+      "q_interval_join",
+      (s, d) => {
+        val ev = T.events(s, d).filter(col("user_id") < 10)
+          .select(col("user_id"),
+            col("ts").cast("timestamp").cast("double").as("t"))
+        val win = T.events(s, d).filter(col("user_id") < 10)
+          .groupBy(col("user_id"),
+            floor((unix_timestamp(col("ts")) - epoch20240101) / 86400L).as("day"))
+          .agg(min(col("ts").cast("timestamp").cast("double")).as("lo"))
+          .withColumn("hi", col("lo") + 7200.0)
+          .drop("day")
+        graft.rollup.IntervalJoin.pointInInterval(
+          ev, win, Seq("user_id"), "t", "lo", "hi", bucketWidth = 3600.0)
+          .groupBy(col("user_id"), col("lo"), col("hi"))
+          .agg(count(lit(1)).as("n_points"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(epoch(ts) AS DOUBLE) AS t
+             |  FROM events WHERE user_id < 10),
+             |win AS (
+             |  SELECT user_id, min(t) AS lo, min(t) + 7200.0 AS hi
+             |  FROM (SELECT user_id, t,
+             |          CAST(floor((t - 1704067200) / 86400) AS BIGINT) AS day
+             |        FROM ev)
+             |  GROUP BY user_id, day)
+             |SELECT e.user_id, w.lo, w.hi, count(*) AS n_points
+             |FROM ev e JOIN win w
+             |  ON e.user_id = w.user_id AND e.t BETWEEN w.lo AND w.hi
+             |GROUP BY 1, 2, 3""".stripMargin)
+    ),
+    Q(
       // gap-based sessionization (Sessionize.stats, one window pass):
       // per-user sessions over the event stream with a 1-hour gap,
       // checked against the same lag+cumsum construction in DuckDB SQL
