@@ -37,6 +37,10 @@ object IntervalJoin {
       hiCol: String,
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    val collisions =
+      right.columns.filterNot(keys.contains).filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"left and right share non-key columns: ${collisions.mkString(", ")} — alias them first")
     val t = TimeCols.epochSeconds(left, timeCol)
     val lo = TimeCols.epochSeconds(right, loCol)
     val hi = TimeCols.epochSeconds(right, hiCol)
