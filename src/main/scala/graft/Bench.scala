@@ -120,9 +120,11 @@ object Bench {
     // r03: nPagesMid raised 1.2M -> 2M — the round-3 extraction speedups
     // shrank the c4 leg to ~30 s, where the ~1-2 s fixed per-action
     // overhead alone costs >=10% efficiency; the pair must stay
-    // work-dominated for the ratio to measure scaling, not overhead
+    // work-dominated for the ratio to measure scaling, not overhead.
+    // r04: raised again 2M -> 3M after the single-pass chain cut the c4
+    // leg back to ~29-38 s (same rule: keep it >=40 s)
     val (nPagesBig, nPagesMid) = sfDir match {
-      case d if d.contains("sf0.1")  => (3000000L, 2000000L)
+      case d if d.contains("sf0.1")  => (3000000L, 3000000L)
       case d if d.contains("sf0.01") => (300000L, 150000L)
       case _                         => (30000L, 20000L)
     }
