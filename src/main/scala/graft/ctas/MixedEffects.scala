@@ -165,7 +165,10 @@ object MixedEffects {
   private[graft] def fitEmReml(suffIn: Array[MeSuff]): FitRes = {
     // deterministic order for the FP accumulations below
     val triples = suffIn.sortBy(t => (t.site, t.country, t.region))
-    val n = triples.map(_.n).sum.toInt
+    // kept Long (ADVICE r04): at crawl scale (10^6 subjects/site × #sites)
+    // the total row count exceeds 2^31; an Int sum silently goes negative
+    // and corrupts the pooled-variance fallback and (n-1) divisors
+    val n: Long = triples.map(_.n).sum
     val nCountry = triples.map(_.country).distinct.length
     val nRegion = triples.map(_.region).distinct.length
 
@@ -249,7 +252,7 @@ object MixedEffects {
     }.toArray
 
     // EM-REML iterations on the MME, work-bounded in m (maxIterFor)
-    val maxIter = if (n >= 3) maxIterFor(m) else 1
+    val maxIter = if (n >= 3L) maxIterFor(m) else 1
     var s: Array[Double] = null
     var it = 0
     var converged = false
@@ -262,7 +265,7 @@ object MixedEffects {
       val c = Stats.invertInPlace(mat)
       s = Array.tabulate(m)(a => (0 until m).map(b => c(a)(b) * wty(b)).sum)
       val sWty = (0 until m).map(a => s(a) * wty(a)).sum
-      val newE2 = math.max((yty - sWty) / math.max(n - 1, 1), 1e-12)
+      val newE2 = math.max((yty - sWty) / math.max(n - 1L, 1L).toDouble, 1e-12)
       var maxRel = math.abs(newE2 - sigmaE2) / sigmaE2
       levels.indices.foreach { l =>
         val uu = (offs(l) until offs(l) + q(l)).map(d => s(d) * s(d)).sum

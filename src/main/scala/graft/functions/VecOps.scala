@@ -53,7 +53,10 @@ object VecOps {
     * zip_with/aggregate form). Accumulation is left-to-right per
     * accumulator — bit-identical to the sequential `aggregate` HOFs it
     * replaces. Length mismatch → null (zip_with's null-extension made
-    * the old dot null there). NaN inputs propagate as NaN, not null.
+    * the old dot null there); a null ELEMENT on either side → null too
+    * (ADVICE r04: getDouble would read a null slot as 0.0, diverging
+    * from the old HOF form's null propagation). NaN inputs propagate as
+    * NaN, not null.
     */
   def cosineSimBoxed(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
@@ -63,6 +66,7 @@ object VecOps {
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i)
       val y = b.getDouble(i)
       dot += x * y
@@ -155,8 +159,9 @@ case class TopCells(child: Expression, mat: IndexedSeq[Double], dim: Int, take: 
   * replaces the interpreted zip_with + 3×aggregate HOF form that
   * dominated in-bucket verification (a fresh 768-element array plus
   * ~4×dim boxed lambda calls PER CANDIDATE PAIR; measured ~10x slower
-  * at dim=768). NULL on zero norm / length mismatch, NaN propagates —
-  * the old form's exact semantics, same FP accumulation order.
+  * at dim=768). NULL on zero norm / length mismatch / null element,
+  * NaN propagates — the old form's exact semantics, same FP
+  * accumulation order.
   */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType

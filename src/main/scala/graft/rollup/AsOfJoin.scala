@@ -54,6 +54,14 @@ object AsOfJoin {
     val collisions = valueCols.filter(left.columns.contains)
     require(collisions.isEmpty,
       s"right value columns collide with left columns: ${collisions.mkString(", ")} — alias them first")
+    // internal names and the appended output column are reserved too
+    // (ADVICE r04): a left frame already holding asof_time or a __-prefixed
+    // column would be silently clobbered by the tag-union plumbing
+    val reserved = (left.columns ++ right.columns)
+      .filter(c => c == "asof_time" || c.startsWith("__")).distinct
+    require(reserved.isEmpty,
+      s"columns collide with asof internals: ${reserved.mkString(", ")} — " +
+        "rename them first (asof_time and the __ prefix are reserved)")
 
     val leftCols = left.columns.toSeq
     // one unioned relation; left rows carry nulls in the right value slots

@@ -3,12 +3,12 @@ package graft.tools
 import graft.ctas._
 import org.apache.spark.sql.SparkSession
 
-/** Manual timing probe (Test/runMain graft.tools.StudyProbe <sfDir>
+/** Manual timing probe (Test/runMain graft.tools.StudyTimingProbe <sfDir>
   * [cores]) for the bench-scale ctas study: where does the study block's
   * wall-clock go — relational autogen vs the legacy kernel path vs the
   * full pipeline. Not part of the suite.
   */
-object StudyProbe {
+object StudyTimingProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val cores = if (args.length > 1) args(1) else "32"
