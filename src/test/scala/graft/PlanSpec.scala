@@ -91,6 +91,28 @@ class PlanSpec extends GraftSuite {
     assert(nEx2 == 1, s"expected one exchange, found $nEx2:\n$plan2")
   }
 
+  test("KS site scoring incl. study-wide FDR plans no single-partition " +
+    "exchange (VERDICT r04 #1: padjust used to global-sort on one task)") {
+    import spark.implicits._
+    val rng = new java.util.SplittableRandom(9)
+    val rows = (0 until 200).map { i =>
+      (s"subj_$i", s"site_${i % 10}", rng.nextGaussian())
+    }
+    val features = rows.map { case (s, _, v) => ("ts_p", s, "average", v) }
+      .toDF("timeseries_id", "subject_id", "feature", "feature_value")
+    val subjects = rows.map { case (s, site, _) => (s, site, "c1", "r1") }
+      .toDF("subject_id", "site", "country", "region")
+    val liveDefs = Seq(("ts_p", "param1", 3.0))
+      .toDF("timeseries_id", "parameter_id", "subject_count_min")
+    val scored = graft.ctas.SiteScoring.score(spark, features, liveDefs,
+      subjects, spark.emptyDataFrame, graft.ctas.CtasConfig())
+    scored.collect()
+    val exec = scored.queryExecution.executedPlan.toString
+    assert(!exec.contains("SinglePartition"),
+      "scored plan has a single-partition exchange:\n" + exec.take(2000))
+    spark.catalog.clearCache()
+  }
+
   test("dimension joins broadcast") {
     val plan = planOf(SparkEntry.queries("q_join_broadcast")(spark, sfTiny))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
