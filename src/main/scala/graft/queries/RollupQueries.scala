@@ -248,6 +248,140 @@ object RollupQueries {
              |  ON e.user_id = d.user_id AND e.lt <= d.rt""".stripMargin)
     ),
     Q(
+      // NEAREST as-of join (VERDICT r04 "Next round" #2): DuckDB has no
+      // nearest ASOF, so the oracle is the closed form — backward ASOF +
+      // forward ASOF + CASE on the deltas, ties backward (event_id keys
+      // the b×f recombination so duplicate timestamps can't fan out)
+      "q_asof_join_nearest",
+      (s, d) => {
+        val ev = T.events(s, d).filter(col("user_id") < 20)
+          .select(col("user_id"), col("event_id"),
+            col("ts").cast("timestamp").cast("double").as("lt"))
+        val daily = T.events(s, d).filter(col("user_id") < 20)
+          .groupBy(col("user_id"),
+            (floor((unix_timestamp(col("ts")) - epoch20240101) / 86400L) * 86400L +
+              epoch20240101).as("rt"))
+          .agg(round(avg(col("value")), 6).as("daily_avg"))
+        graft.rollup.AsOfJoin.asof(ev, daily, Seq("user_id"), "lt", "rt",
+          Seq("daily_avg"), direction = "nearest")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, CAST(epoch(ts) AS DOUBLE) AS lt
+             |  FROM events WHERE user_id < 20),
+             |daily AS (
+             |  SELECT user_id,
+             |    CAST(floor((epoch(ts) - 1704067200) / 86400) AS BIGINT) * 86400
+             |      + 1704067200 AS rt,
+             |    round(avg(value), 6) AS daily_avg
+             |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+             |b AS (
+             |  SELECT e.user_id, e.event_id, e.lt,
+             |    d.daily_avg AS b_avg, CAST(d.rt AS DOUBLE) AS b_rt
+             |  FROM ev e ASOF LEFT JOIN daily d
+             |    ON e.user_id = d.user_id AND e.lt >= d.rt),
+             |f AS (
+             |  SELECT e.user_id, e.event_id,
+             |    d.daily_avg AS f_avg, CAST(d.rt AS DOUBLE) AS f_rt
+             |  FROM ev e ASOF LEFT JOIN daily d
+             |    ON e.user_id = d.user_id AND e.lt <= d.rt)
+             |SELECT b.user_id, b.event_id, b.lt,
+             |  CASE WHEN b_rt IS NOT NULL AND f_rt IS NOT NULL THEN
+             |         CASE WHEN (b.lt - b_rt) <= (f_rt - b.lt)
+             |              THEN b_avg ELSE f_avg END
+             |       WHEN b_rt IS NOT NULL THEN b_avg ELSE f_avg END AS daily_avg,
+             |  CASE WHEN b_rt IS NOT NULL AND f_rt IS NOT NULL THEN
+             |         CASE WHEN (b.lt - b_rt) <= (f_rt - b.lt)
+             |              THEN b_rt ELSE f_rt END
+             |       WHEN b_rt IS NOT NULL THEN b_rt ELSE f_rt END AS asof_time
+             |FROM b JOIN f
+             |  ON b.user_id = f.user_id AND b.event_id = f.event_id""".stripMargin)
+    ),
+    Q(
+      // backward as-of with a 12-hour TOLERANCE: the matched row is
+      // nulled (both value and asof_time) when it is farther than the
+      // tolerance — DuckDB oracles it as ASOF LEFT JOIN + CASE
+      "q_asof_join_tolerance",
+      (s, d) => {
+        val ev = T.events(s, d).filter(col("user_id") < 20)
+          .select(col("user_id"),
+            col("ts").cast("timestamp").cast("double").as("lt"), col("value"))
+        val daily = T.events(s, d).filter(col("user_id") < 20)
+          .groupBy(col("user_id"),
+            (floor((unix_timestamp(col("ts")) - epoch20240101) / 86400L) * 86400L +
+              epoch20240101).as("rt"))
+          .agg(round(avg(col("value")), 6).as("daily_avg"))
+        graft.rollup.AsOfJoin.asof(ev, daily, Seq("user_id"), "lt", "rt",
+          Seq("daily_avg"), tolerance = Some(43200.0))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(epoch(ts) AS DOUBLE) AS lt, value
+             |  FROM events WHERE user_id < 20),
+             |daily AS (
+             |  SELECT user_id,
+             |    CAST(floor((epoch(ts) - 1704067200) / 86400) AS BIGINT) * 86400
+             |      + 1704067200 AS rt,
+             |    round(avg(value), 6) AS daily_avg
+             |  FROM events WHERE user_id < 20 GROUP BY 1, 2)
+             |SELECT e.user_id, e.lt, e.value,
+             |  CASE WHEN e.lt - d.rt <= 43200.0 THEN d.daily_avg END AS daily_avg,
+             |  CASE WHEN e.lt - d.rt <= 43200.0
+             |       THEN CAST(d.rt AS DOUBLE) END AS asof_time
+             |FROM ev e ASOF LEFT JOIN daily d
+             |  ON e.user_id = d.user_id AND e.lt >= d.rt""".stripMargin)
+    ),
+    Q(
+      // INTERVAL-OVERLAP join (VERDICT r04 "Next round" #3): per-user
+      // sessions × per-day 2-hour opening windows on the same user,
+      // every overlapping pair exactly once (owner-bucket trick), vs a
+      // plain range join in DuckDB
+      "q_interval_overlap",
+      (s, d) => {
+        val ev = T.events(s, d).filter(col("user_id") < 50)
+          .select(col("user_id"),
+            col("ts").cast("timestamp").cast("double").as("t"))
+        val sess = graft.rollup.Sessionize.stats(ev, Seq("user_id"), "t", gap = 3600.0)
+          .select(col("user_id"), col("session_start").as("lo1"),
+            col("session_end").as("hi1"))
+        val win = ev
+          .groupBy(col("user_id"),
+            floor((col("t") - epoch20240101) / 86400L).as("day"))
+          .agg(min(col("t")).as("lo2"))
+          .withColumn("hi2", col("lo2") + 7200.0)
+          .drop("day")
+        graft.rollup.IntervalJoin.intervalOverlap(
+          sess, win, Seq("user_id"), "lo1", "hi1", "lo2", "hi2",
+          bucketWidth = 14400.0)
+          .withColumn("overlap_len",
+            least(col("hi1"), col("hi2")) - greatest(col("lo1"), col("lo2")))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(epoch(ts) AS DOUBLE) AS t
+             |  FROM events WHERE user_id < 50),
+             |m AS (
+             |  SELECT user_id, t,
+             |    CASE WHEN lag(t) OVER w IS NULL
+             |           OR t - lag(t) OVER w > 3600 THEN 1 ELSE 0 END AS nw
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+             |sn AS (
+             |  SELECT user_id, t,
+             |    sum(nw) OVER (PARTITION BY user_id ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM m),
+             |sess AS (
+             |  SELECT user_id, min(t) AS lo1, max(t) AS hi1
+             |  FROM sn GROUP BY user_id, sid),
+             |win AS (
+             |  SELECT user_id, min(t) AS lo2, min(t) + 7200.0 AS hi2
+             |  FROM (SELECT user_id, t,
+             |          CAST(floor((t - 1704067200) / 86400) AS BIGINT) AS day
+             |        FROM e)
+             |  GROUP BY user_id, day)
+             |SELECT s.user_id, s.lo1, s.hi1, w.lo2, w.hi2,
+             |  least(s.hi1, w.hi2) - greatest(s.lo1, w.lo2) AS overlap_len
+             |FROM sess s JOIN win w
+             |  ON s.user_id = w.user_id AND s.lo1 <= w.hi2 AND w.lo2 <= s.hi1""".stripMargin)
+    ),
+    Q(
       // point-in-interval join (IntervalJoin: bucketized equi-join, no
       // nested loop): count each user's events inside that user's
       // per-day 2-hour opening window, vs a plain BETWEEN join in DuckDB
@@ -468,6 +602,93 @@ object RollupQueries {
              |  CAST(min(text_len) AS BIGINT) AS min,
              |  CAST(max(text_len) AS BIGINT) AS max
              |FROM pages GROUP BY 1, 2""".stripMargin)
+    ),
+    Q(
+      // Structured Streaming SESSIONIZATION (VERDICT r04 "Next round"
+      // #5): a real session_window StreamingQuery over a parquet-backed
+      // event stream, checked against DuckDB's lag+cumsum batch
+      // construction — streaming-equals-batch for sessions, like
+      // q_stream_hourly_tier for tiers. session_window merges while
+      // t − prev < gap (STRICT), so the oracle breaks on >= 3600.
+      "q_stream_sessionize",
+      (s, d) => {
+        val ev = T.events(s, d).filter(col("user_id") < 50)
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+        val dir = java.nio.file.Files.createTempDirectory("q_stream_sess").toString
+        ev.write.mode("overwrite").parquet(dir)
+        val q = graft.streaming.StreamingSessionize.runFileStream(
+          s, dir, "q_stream_sess_sink", "user_id", "ts", gapDuration = "3600 seconds")
+        q.processAllAvailable()
+        q.stop()
+        s.table("q_stream_sess_sink")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(epoch(ts) AS DOUBLE) AS t
+             |  FROM events WHERE user_id < 50),
+             |m AS (
+             |  SELECT user_id, t,
+             |    CASE WHEN lag(t) OVER w IS NULL
+             |           OR t - lag(t) OVER w >= 3600 THEN 1 ELSE 0 END AS nw
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+             |sn AS (
+             |  SELECT user_id, t,
+             |    sum(nw) OVER (PARTITION BY user_id ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM m)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  min(t) AS session_start, max(t) AS session_end
+             |FROM sn GROUP BY user_id, sid""".stripMargin)
+    ),
+    Q(
+      // RETENTION EXPIRY end-to-end (VERDICT r04 "Next round" #6): build
+      // the hourly tier through TierBuilder (manifest commits, day
+      // partitions), expire the first two weeks of day partitions via
+      // SnapshotStore.expire, and read back the committed survivors —
+      // checked against DuckDB aggregating ONLY the surviving days.
+      // Events are wrapped as crawl pages and shifted +371 days so all
+      // hour ranks land after CrawlSynth.startEpoch (2025-01-06).
+      "q_tier_retention",
+      (s, d) => {
+        val pages = T.events(s, d).select(
+          concat(lit("https://h"), col("user_id") % 20, lit(".example/"),
+            col("event_id")).as("url"),
+          (col("ts") + expr("INTERVAL 371 DAYS")).as("warc_ts"),
+          concat(col("event_type"), lit(":"), col("props")).as("text"),
+          when(col("user_id") % 3 === 0, "en").otherwise("de").as("lang"))
+        val store = java.nio.file.Files.createTempDirectory("q_retention").toString
+        graft.rollup.TierBuilder.buildHourly(s, pages, store, daysPerJob = 0)
+        new graft.store.SnapshotStore(store).expire(_ < "day=2025-01-20")
+        graft.rollup.TierBuilder.readHourly(s, store)
+          .select(col("series_id"), col("bucket"), col("n"),
+            round(col("sum"), 6).as("sum"), round(col("sumsq"), 6).as("sumsq"),
+            round(col("min"), 6).as("min"), round(col("max"), 6).as("max"))
+      },
+      Some("""WITH pages AS (
+             |  SELECT 'h' || CAST(user_id % 20 AS VARCHAR) || '.example' AS host,
+             |    ts + INTERVAL 371 DAY AS warc_ts,
+             |    length(event_type || ':' || props) AS text_len,
+             |    CASE WHEN user_id % 3 = 0 THEN 'en' ELSE 'de' END AS lang
+             |  FROM events),
+             |f AS (
+             |  SELECT host,
+             |    (floor(epoch(warc_ts)) - 1736121600) / 3600 AS rank,
+             |    text_len, lang
+             |  FROM pages WHERE CAST(warc_ts AS DATE) >= DATE '2025-01-20'),
+             |per AS (
+             |  SELECT host, rank,
+             |    CAST(count(*) AS DOUBLE) AS pages_per_hour,
+             |    avg(text_len) AS text_length,
+             |    avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) AS lang_share_en
+             |  FROM f GROUP BY 1, 2),
+             |st AS (
+             |  SELECT host, rank, 'pages_per_hour' AS metric, pages_per_hour AS v FROM per
+             |  UNION ALL SELECT host, rank, 'text_length', text_length FROM per
+             |  UNION ALL SELECT host, rank, 'lang_share_en', lang_share_en FROM per)
+             |SELECT metric || '|' || host AS series_id,
+             |  CAST(floor(rank) AS BIGINT) AS bucket,
+             |  count(v) AS n, round(sum(v), 6) AS sum, round(sum(v * v), 6) AS sumsq,
+             |  round(min(v), 6) AS min, round(max(v), 6) AS max
+             |FROM st GROUP BY 1, 2""".stripMargin)
     ),
     Q(
       // per-series anomaly screen over the daily tier vs the same

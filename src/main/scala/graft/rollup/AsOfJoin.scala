@@ -37,6 +37,17 @@ import org.apache.spark.sql.functions._
   *  - `tolerance` (in units of the time column) nulls the attached
   *    values when the matched right row is farther than the tolerance;
   *    for "nearest" it applies per direction before picking.
+  *
+  * Hot-key bound: partitioning is by key only, so one key's FULL
+  * history (left + right) sorts and carries in one task — the same
+  * placement any shuffle join on the key would force. Both stages
+  * degrade to disk rather than cliff: the sort is an
+  * UnsafeExternalSorter (spills), and the running-frame carry holds
+  * O(1) state per row (SkewSpec drives a 10⁷-row single key through
+  * it). Per-key cost is one external sort of that key's rows; if a
+  * single key's history ever exceeds a task's DISK, range-bucket the
+  * time axis and fix up carries across bucket boundaries (two-level
+  * carry) — not needed at 10⁹ rows/key.
   */
 object AsOfJoin {
 

@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   * ONE exchange + sort total; SessionizeSpec asserts it). Rows tied on
   * (key, time) always land in the same session whatever their sort
   * order, because their gap is 0.
+  *
+  * Hot-key bound: one key's events sort in one task (any keyed
+  * construction forces that placement). The sort spills and the
+  * lag+cumsum frames carry O(1) state, so a hot key degrades to disk
+  * instead of OOMing — SkewSpec drives a 10⁷-row single key through
+  * this path. See AsOfJoin's scaladoc for the two-level-carry
+  * refinement if a key ever exceeds task disk.
   */
 object Sessionize {
 

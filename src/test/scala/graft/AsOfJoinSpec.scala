@@ -86,6 +86,19 @@ class AsOfJoinSpec extends GraftSuite {
     assert(out.toSeq === Seq((1, null), (2, 7.0)))
   }
 
+  test("reserved-name collisions are rejected (asof_time and __ prefix)") {
+    val r = Seq(("a", 3.0, 33.0)).toDF("key", "rt", "rv")
+    val lReserved = Seq(("a", 10.0, 1.0)).toDF("key", "lt", "asof_time")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(lReserved, r, Seq("key"), "lt", "rt", Seq("rv"))
+    }
+    val l = Seq(("a", 10.0)).toDF("key", "lt")
+    val rDunder = Seq(("a", 3.0, 33.0)).toDF("key", "rt", "__rv")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, rDunder, Seq("key"), "lt", "rt", Seq("__rv"))
+    }
+  }
+
   test("plans no join and exactly one exchange") {
     val left = Seq(("a", 10.0, 1)).toDF("key", "lt", "id")
     val right = Seq(("a", 3.0, 33.0)).toDF("key", "rt", "rv")

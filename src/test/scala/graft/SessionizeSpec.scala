@@ -70,6 +70,27 @@ class SessionizeSpec extends GraftSuite {
       .where(col("session_id") === 1).count() === 1)
   }
 
+  test("session_window kernel (StreamingSessionize, batch mode) equals " +
+    "batch sessionize stats away from exact-gap ties") {
+    // integer-second events + a fractional gap: the strict (<) streaming
+    // boundary and the inclusive (<=) batch boundary can never disagree
+    val rng = new scala.util.Random(17)
+    val rows = for (k <- 0 until 5; _ <- 0 until 60)
+      yield (s"u$k", rng.nextInt(500000).toDouble)
+    val df = rows.toDF("user_id", "t")
+      .withColumn("ts", timestamp_seconds(col("t")))
+    val viaWindow = graft.streaming.StreamingSessionize
+      .sessionStats(df, "user_id", "ts", "999 seconds 500 milliseconds")
+      .select("user_id", "n_events", "session_start", "session_end")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sorted.toSeq
+    val viaBatch = Sessionize.stats(df.drop("ts"), Seq("user_id"), "t", gap = 999.5)
+      .select("user_id", "n_events", "session_start", "session_end")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sorted.toSeq
+    assert(viaWindow === viaBatch)
+  }
+
   test("plans one exchange (lag and running sum share the sort)") {
     val df = Seq(("u1", 0.0)).toDF("user", "t")
     val plan = Sessionize.assign(df, Seq("user"), "t", 30.0)

@@ -38,6 +38,44 @@ class SkewSpec extends GraftSuite {
     assert(over === again)
   }
 
+  // VERDICT r04 "Next round" #4: as-of join and sessionization partition
+  // by key only, so one hot key's full history flows through ONE task's
+  // sort + running window. Both stages are spill-backed (UnsafeExternal-
+  // Sorter for the sort, O(1) carry state for the running frames), so a
+  // 10^7-row key must DEGRADE to disk, not cliff — this drives exactly
+  // that and checks values at the far end of the partition.
+  test("hot key: a 1e7-row single-key history completes through as-of " +
+    "join and sessionize with correct carries (spill path, no OOM)") {
+    val n = 10000000L
+    // left: one key, points at even ticks; right: 1000 anchors every 2e4
+    val left = spark.range(n)
+      .select(lit("hot").as("key"), (col("id") * 2.0).as("lt"))
+    val right = spark.range(1000)
+      .select(lit("hot").as("key"), (col("id") * 20000.0).as("rt"),
+        col("id").cast("double").as("v"))
+    val joined = graft.rollup.AsOfJoin.asof(
+      left, right, Seq("key"), "lt", "rt", Seq("v"))
+    assert(joined.count() === n)
+    // spot-check carries deep into the partition: lt=2*k matches anchor
+    // floor(2k/20000)
+    val probes = joined
+      .filter(col("lt").isin(0.0, 3999998.0, 19999998.0))
+      .select(col("lt"), col("v")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(probes(0.0) === 0.0)
+    assert(probes(3999998.0) === 199.0)
+    assert(probes(19999998.0) === 999.0)
+
+    // sessionize the same single-key history: stride 2 < gap 3 => ONE
+    // session spanning the whole key
+    val sess = graft.rollup.Sessionize.stats(
+      left.withColumnRenamed("lt", "t"), Seq("key"), "t", gap = 3.0)
+      .collect()
+    assert(sess.length === 1)
+    assert(sess(0).getAs[Long]("n_events") === n)
+    assert(sess(0).getAs[Double]("session_end") === (n - 1) * 2.0)
+  }
+
   test("kernel cap bounds matrix-kernel input without breaking the pipeline") {
     val study = graft.ctas.FixtureGen.generate(spark, seed = 31L)
     val cfg = graft.ctas.CtasConfig(
