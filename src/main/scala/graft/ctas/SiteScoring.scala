@@ -169,11 +169,76 @@ object SiteScoring {
         else cached.withColumn(outCol, least(lit(1.0), col(pCol) * n))
       case "none" =>
         df.withColumn(outCol, col(pCol))
+      case "hommel" =>
+        hommelAdjust(df, pCol, outCol)
       case other =>
-        // R's remaining method is "hommel" — not implemented (rarely
-        // used; reference default is "fdr", R/ctas.R:34)
         throw new IllegalArgumentException(s"Unsupported padjust method: $other")
     }
+
+  /** stats::p.adjust "hommel" (Hommel 1988, as coded in R): inherently
+    * O(n²) — every iteration of the closure recomputes a running min
+    * over the tail — so unlike the ranked methods it CANNOT distribute;
+    * it runs as an exact driver-side kernel over the collected p vector
+    * (attached back via a broadcast id join) and is gated at
+    * [[hommelMaxRows]] rows with an actionable error. R semantics
+    * preserved exactly: n ≤ 1 returns p, n == 2 falls back to hochberg
+    * (R's p.adjust does the same), ties follow sort order but the
+    * result is tie-order-invariant like the other methods.
+    */
+  val hommelMaxRows = 100000
+
+  private def hommelAdjust(df: DataFrame, pCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val withId = df.withColumn("__mid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = withId.select(col("__mid"), col(pCol).cast("double")).collect()
+    if (rows.length <= 1) {
+      withId.unpersist()
+      return df.withColumn(outCol, col(pCol))
+    }
+    if (rows.length == 2) {
+      withId.unpersist()
+      return rankedAdjust(df, pCol, outCol, "hochberg")
+    }
+    require(rows.length <= hommelMaxRows,
+      s"padjust(hommel) is O(n²) by R's definition and is driver-side; " +
+        s"${rows.length} rows exceed hommelMaxRows=$hommelMaxRows — use " +
+        "fdr/holm/hochberg/BY (distributed) at this scale")
+    val mids = rows.map(_.getLong(0))
+    val adj = hommelKernel(rows.map(_.getDouble(1)))
+    import spark.implicits._
+    val adjDf = broadcast(
+      mids.zip(adj).toSeq.toDF("__mid", outCol))
+    withId.join(adjDf, "__mid").drop("__mid")
+  }
+
+  /** R's hommel closure, 0-based (p.adjust source, stats/R/p.adjust.R). */
+  private[graft] def hommelKernel(ps: Array[Double]): Array[Double] = {
+    val n = ps.length
+    val ord = ps.zipWithIndex.sortBy(_._1)
+    val p = ord.map(_._1)
+    var init = Double.PositiveInfinity
+    for (i <- 0 until n) init = math.min(init, n * p(i) / (i + 1))
+    val q = Array.fill(n)(init)
+    val pa = Array.fill(n)(init)
+    var m = n - 1
+    while (m >= 2) {
+      // q1 = min over the top m−1 order stats of m·p_(i)/k, k = 2..m
+      var q1 = Double.PositiveInfinity
+      var k = 2
+      var idx = n - m + 1
+      while (idx < n) { q1 = math.min(q1, m * p(idx) / k); k += 1; idx += 1 }
+      var i = 0
+      while (i < n - m + 1) { q(i) = math.min(m * p(i), q1); i += 1 }
+      while (i < n) { q(i) = q(n - m); i += 1 }
+      i = 0
+      while (i < n) { pa(i) = math.max(pa(i), q(i)); i += 1 }
+      m -= 1
+    }
+    val out = new Array[Double](n)
+    for (r <- 0 until n) out(ord(r)._2) = math.max(pa(r), p(r))
+    out
+  }
 
   /** distributed ranked p.adjust (see [[padjust]] doc). Factor recipes
     * (rank = ascending rank of p, 1-based):

@@ -315,7 +315,25 @@ class CtasPipelineSpec extends GraftSuite {
     val h4 = (1 to 4).map(1.0 / _).sum
     assert(approx(adj(p2, "BY"), Seq(1.0, 0.4 * h4, 0.4 * h4, 1.0)))
 
-    assertThrows[IllegalArgumentException](adj(p1, "hommel"))
+    // hommel (VERDICT r04 stretch #9): hand-traced through R's p.adjust
+    // closure for both vectors; n==2 falls back to hochberg like R
+    assert(approx(adj(p1, "hommel"), Seq.fill(5)(0.05)))
+    assert(approx(adj(p2, "hommel"), Seq(0.9, 0.6, 0.6, 0.9)))
+    assert(approx(adj(Seq(0.4, 0.1), "hommel"), Seq(0.4, 0.2)))
+    assert(approx(adj(Seq(0.7), "hommel"), Seq(0.7)))
+
+    // pointwise ordering property on a pseudo-random vector:
+    // hochberg <= hommel <= holm (Hommel dominates Hochberg; Holm
+    // dominates both)
+    val rng = new java.util.SplittableRandom(3)
+    val pr = Seq.fill(40)(rng.nextDouble())
+    val (hb, hm, hl) = (adj(pr, "hochberg"), adj(pr, "hommel"), adj(pr, "holm"))
+    pr.indices.foreach { i =>
+      assert(hb(i) <= hm(i) + 1e-12 && hm(i) <= hl(i) + 1e-12,
+        s"i=$i: hochberg=${hb(i)} hommel=${hm(i)} holm=${hl(i)}")
+    }
+
+    assertThrows[IllegalArgumentException](adj(p1, "nope"))
   }
 
   test("adaptive autogen emits sorted combos") {
