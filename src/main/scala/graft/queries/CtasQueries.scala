@@ -183,6 +183,116 @@ object CtasQueries {
              |FROM ranked""".stripMargin)
     ),
     Q(
+      // p.adjust 'holm' — distributed prefix-max recipe vs closed-form
+      // SQL (ascending cummax of (n−i+1)·p)
+      "q_ts_holm_adjust",
+      (s, d) => {
+        val p = cells(s, d)
+          .groupBy("parameter_id", "subject_id")
+          .agg((((abs(col("subject_id")) % 97) + 1) / lit(100.0)).as("p"))
+          .groupBy("parameter_id", "p").agg(count(lit(1)).as("n_subjects"))
+        SiteScoring.padjust(p, "p", "p_adj", "holm")
+          .select(col("parameter_id"), col("p"), col("n_subjects"),
+            round(col("p_adj"), 10).as("p_adj"))
+      },
+      Some("""WITH p AS (
+             |  SELECT parameter_id, ((abs(subject_id) % 97) + 1) / 100.0 AS p,
+             |    count(*) AS n_subjects
+             |  FROM (SELECT event_type AS parameter_id, user_id AS subject_id
+             |        FROM events GROUP BY 1, 2)
+             |  GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT *, count(*) OVER () AS n,
+             |    row_number() OVER (ORDER BY p ASC) AS rn
+             |  FROM p)
+             |SELECT parameter_id, p, n_subjects,
+             |  round(least(1.0, max(p * (n - rn + 1)) OVER (
+             |    ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 10)
+             |    AS p_adj
+             |FROM ranked""".stripMargin)
+    ),
+    Q(
+      // p.adjust 'hochberg' — distributed suffix-min recipe vs
+      // closed-form SQL (descending cummin of k·p_(n−k+1))
+      "q_ts_hochberg_adjust",
+      (s, d) => {
+        val p = cells(s, d)
+          .groupBy("parameter_id", "subject_id")
+          .agg((((abs(col("subject_id")) % 97) + 1) / lit(100.0)).as("p"))
+          .groupBy("parameter_id", "p").agg(count(lit(1)).as("n_subjects"))
+        SiteScoring.padjust(p, "p", "p_adj", "hochberg")
+          .select(col("parameter_id"), col("p"), col("n_subjects"),
+            round(col("p_adj"), 10).as("p_adj"))
+      },
+      Some("""WITH p AS (
+             |  SELECT parameter_id, ((abs(subject_id) % 97) + 1) / 100.0 AS p,
+             |    count(*) AS n_subjects
+             |  FROM (SELECT event_type AS parameter_id, user_id AS subject_id
+             |        FROM events GROUP BY 1, 2)
+             |  GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (ORDER BY p DESC) AS rn
+             |  FROM p)
+             |SELECT parameter_id, p, n_subjects,
+             |  round(least(1.0, min(p * rn) OVER (
+             |    ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 10)
+             |    AS p_adj
+             |FROM ranked""".stripMargin)
+    ),
+    Q(
+      // p.adjust 'BY' (Benjamini–Yekutieli) — BH factors scaled by the
+      // harmonic number H_n, vs closed-form SQL
+      "q_ts_by_adjust",
+      (s, d) => {
+        val p = cells(s, d)
+          .groupBy("parameter_id", "subject_id")
+          .agg((((abs(col("subject_id")) % 97) + 1) / lit(100.0)).as("p"))
+          .groupBy("parameter_id", "p").agg(count(lit(1)).as("n_subjects"))
+        SiteScoring.padjust(p, "p", "p_adj", "BY")
+          .select(col("parameter_id"), col("p"), col("n_subjects"),
+            round(col("p_adj"), 10).as("p_adj"))
+      },
+      Some("""WITH p AS (
+             |  SELECT parameter_id, ((abs(subject_id) % 97) + 1) / 100.0 AS p,
+             |    count(*) AS n_subjects
+             |  FROM (SELECT event_type AS parameter_id, user_id AS subject_id
+             |        FROM events GROUP BY 1, 2)
+             |  GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT *, count(*) OVER () AS n,
+             |    row_number() OVER (ORDER BY p DESC) AS rn
+             |  FROM p),
+             |h AS (
+             |  SELECT sum(1.0 / CAST(rn AS DOUBLE)) AS hn FROM ranked)
+             |SELECT parameter_id, p, n_subjects,
+             |  round(least(1.0, min(p * hn * n / (n - rn + 1)) OVER (
+             |    ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 10)
+             |    AS p_adj
+             |FROM ranked CROSS JOIN h""".stripMargin)
+    ),
+    Q(
+      // p.adjust 'bonferroni' — n·p clipped at 1
+      "q_ts_bonferroni_adjust",
+      (s, d) => {
+        val p = cells(s, d)
+          .groupBy("parameter_id", "subject_id")
+          .agg((((abs(col("subject_id")) % 97) + 1) / lit(100.0)).as("p"))
+          .groupBy("parameter_id", "p").agg(count(lit(1)).as("n_subjects"))
+        SiteScoring.padjust(p, "p", "p_adj", "bonferroni")
+          .select(col("parameter_id"), col("p"), col("n_subjects"),
+            round(col("p_adj"), 10).as("p_adj"))
+      },
+      Some("""WITH p AS (
+             |  SELECT parameter_id, ((abs(subject_id) % 97) + 1) / 100.0 AS p,
+             |    count(*) AS n_subjects
+             |  FROM (SELECT event_type AS parameter_id, user_id AS subject_id
+             |        FROM events GROUP BY 1, 2)
+             |  GROUP BY 1, 2)
+             |SELECT parameter_id, p, n_subjects,
+             |  round(least(1.0, p * (count(*) OVER ())), 10) AS p_adj
+             |FROM p""".stripMargin)
+    ),
+    Q(
       // Tukey-fence site signal (calculate_simple_site_feature_avgs,
       // R/ctas.R:1251-1275) with exact type-7 quantiles; "site" = user
       // bucket
