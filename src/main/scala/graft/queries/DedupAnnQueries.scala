@@ -293,6 +293,69 @@ object DedupAnnQueries {
              |FROM b""".stripMargin)
     ),
     Q(
+      // connected components over the brute-force bigram-Jaccard pair
+      // set (same pairs as q_dedup_ngram_jaccard): near-dup PAIRS are
+      // unusable until clustered (A~B, B~C must collapse even when A~C
+      // was never emitted). Spark side = alternating large-star /
+      // small-star contraction (one hash exchange per half-round);
+      // oracle = DuckDB recursive CTE computing min reachable id per
+      // node — a different algorithm entirely, so agreement pins the
+      // semantics, not the implementation.
+      "q_dedup_components",
+      (s, d) => {
+        val sh = T.documents(s, d).filter(col("doc_id") < 40)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__w"))
+          .select(col("doc_id"), Dedup.shinglesFromWords(col("__w"), 2).as("sh"))
+        val l = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+        val r = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+        val pairs = l.join(r, col("id1") < col("id2"))
+          .withColumn("jaccard",
+            size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+              size(array_union(col("sh1"), col("sh2"))).cast("double"))
+          .filter(col("jaccard") >= 0.05)
+          .select(col("id1"), col("id2"))
+        graft.dedup.ConnectedComponents.connectedComponents(pairs, "id1", "id2")
+      },
+      Some("""WITH RECURSIVE docs AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(1, len(regexp_split_to_array(trim(text), '\s+')) - 1) + 1),
+             |    i -> array_to_string((regexp_split_to_array(trim(text), '\s+'))[i:i+1], ' ')))
+             |    AS sh
+             |  FROM documents WHERE doc_id < 40),
+             |pairs AS (
+             |  SELECT l.doc_id AS id1, r.doc_id AS id2
+             |  FROM docs l JOIN docs r ON l.doc_id < r.doc_id
+             |  WHERE len(list_intersect(l.sh, r.sh)) * 1.0 /
+             |        len(list_distinct(list_concat(l.sh, r.sh))) >= 0.05),
+             |edges AS (
+             |  SELECT id1 AS u, id2 AS v FROM pairs
+             |  UNION SELECT id2, id1 FROM pairs),
+             |walk(u, comp) AS (
+             |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+             |  UNION
+             |  SELECT e.u, w.comp FROM edges e JOIN walk w ON e.v = w.u)
+             |SELECT u AS id, min(comp) AS component FROM walk GROUP BY u""".stripMargin)
+    ),
+    Q(
+      // deterministic stratified sampling (the training-mix primitive):
+      // md5-keyed keep-predicate — the SAME rows are chosen by any
+      // engine at any partitioning, so the oracle recomputes the exact
+      // selection independently. Output aggregates the kept rows per
+      // stratum (count + id-sum pins the exact row set, not just its
+      // size).
+      "q_sample_stratified",
+      (s, d) => graft.sampling.Sampling.stratifiedSample(
+          T.documents(s, d), "doc_id", "lang",
+          Map("en" -> 0.5), defaultRate = 0.2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum")),
+      Some("""SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM documents
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+             |  CASE WHEN lang = 'en' THEN '80000000' ELSE '33333333' END
+             |GROUP BY 1""".stripMargin)
+    ),
+    Q(
       // embedding norms / label profile — oracle via list_dot_product
       "q_embedding_norms",
       (s, d) =>
