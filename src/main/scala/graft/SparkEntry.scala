@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.RollupQueries.all ++
       graft.queries.TextQueries.all ++
       graft.queries.DedupAnnQueries.all ++
-      graft.queries.MultimodalQueries.all
+      graft.queries.MultimodalQueries.all ++
+      graft.queries.SketchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0: the full ctas study pipeline (validate -> series autogen ->

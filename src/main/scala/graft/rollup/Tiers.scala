@@ -46,6 +46,45 @@ object Tiers {
         max(col("max")).as("max"))
   }
 
+  /** Distinct-cardinality tier: per (series, bucket) HLL sketch of an
+    * item column (e.g. distinct users per host-hour). The sketch is the
+    * continuous-aggregate partial state for COUNT DISTINCT — the one
+    * north-rule statistic that has NO exact algebraic state (exact
+    * distinct would carry the full item set per bucket). The HLL merge
+    * (coupon-set union in sparse mode, per-register max in dense mode)
+    * is commutative and idempotent, so the ERROR BOUND is preserved
+    * under ANY merge topology — rolling up hourly sketches gives the
+    * same guarantee as sketching the coarser bucket directly. The
+    * estimates are NOT bit-identical across topologies: the datasketches
+    * sparse-to-dense promotion point depends on the accumulation path,
+    * so a union-of-many-sketches can promote (and take on the ~1.6%
+    * dense-mode error at lgK=12) at a cardinality where direct
+    * accumulation is still exact. SketchSpec pins both paths to the
+    * bound against exact truth. At 100 TB each host-hour state is a
+    * fixed <=2^lgK bytes regardless of traffic.
+    */
+  def distinctHourly(points: DataFrame, seriesCol: String = "series_id",
+      rankCol: String = "hour_rank", itemCol: String = "item",
+      lgK: Int = 12): DataFrame =
+    points.groupBy(col(seriesCol).as("series_id"),
+        col(rankCol).cast("long").as("bucket"))
+      .agg(hll_sketch_agg(col(itemCol), lit(lgK)).as("hll"))
+
+  /** Re-aggregate a distinct tier into a coarser one: pure sketch union
+    * (same map-side-partial hash aggregate shape as [[rollup]]); the
+    * merged sketch keeps the finer tier's error bound (see class doc).
+    */
+  def rollupDistinct(finer: DataFrame, fromTier: String, toTier: String): DataFrame = {
+    val ratio = tierHours(toTier) / tierHours(fromTier)
+    require(ratio > 1, s"cannot roll $fromTier into $toTier")
+    finer.groupBy(col("series_id"), floor(col("bucket") / ratio).as("bucket"))
+      .agg(hll_union_agg(col("hll")).as("hll"))
+  }
+
+  /** Cardinality estimate column from the sketch state. */
+  def withDistinctEstimate(tier: DataFrame): DataFrame =
+    tier.withColumn("distinct_est", hll_sketch_estimate(col("hll")))
+
   /** Derived per-bucket stats from the algebraic state. */
   def withDerived(tier: DataFrame): DataFrame =
     tier
