@@ -200,7 +200,19 @@ object CtasPipeline {
           .otherwise(lit(null)).as("value"))
       .withColumn("pos",
         dense_rank().over(Window.partitionBy("timeseries_id").orderBy("timepoint_rank")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // eager localCheckpoint, not persist: cells feeds ~six downstream
+      // consumers and sits on top of the whole autogen+membership tree.
+      // persist() short-circuits EXECUTION but every downstream action
+      // still re-ANALYZES the full logical tree on the driver (cache
+      // substitution happens post-analysis), which at this plan size
+      // costs multi-second single-threaded driver time per action
+      // (measured: ~40 s of the study block's ~50 s wall was job-free
+      // driver gaps; GC was 2 s). Truncating lineage here makes every
+      // downstream plan start from a LogicalRDD leaf. Tradeoff: local
+      // checkpoints are lost on executor failure (no recompute path) —
+      // acceptable for the bounded study block; crawl-scale tiers use
+      // SnapshotStore reliable commits instead.
+      .localCheckpoint(true)
 
     val ncols = cells.groupBy("timeseries_id").agg(max(col("pos")).as("ncol"))
 
@@ -208,7 +220,7 @@ object CtasPipeline {
     val liveDefs = defs
       .join(cells.select("timeseries_id").distinct(), Seq("timeseries_id"), "left_semi")
       .join(broadcast(ncols), Seq("timeseries_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // plan truncation, see cells above
 
     phase("cells")
     if (liveDefs.isEmpty) {
@@ -295,15 +307,16 @@ object CtasPipeline {
         array_contains(split(col("feats"), ";"), "own_site_simil_score").as("want_oss"))
       .as[KernelIn]
 
-    // persisted: consumed twice (matrixFeats -> featuresLong AND tsoPca);
-    // without the pin the per-series kernels would run twice end-to-end
+    // materialized once: consumed twice (matrixFeats -> featuresLong AND
+    // tsoPca) — without the pin the per-series kernels would run twice
+    // end-to-end; localCheckpoint also truncates the plan (see cells)
     val kernelOut = kernelIn
       .groupByKey(_.timeseries_id)
       .flatMapGroups { (ts: String, it: Iterator[KernelIn]) =>
         runMatrixKernels(ts, it.toArray)
       }
       .toDF()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     val matrixFeats = kernelOut
       .filter(col("tag").isin("lof", "own_site_simil_score"))
@@ -311,7 +324,7 @@ object CtasPipeline {
         col("tag").as("feature"), col("v1").as("feature_value"))
 
     val featuresLong = scalarLong.unionByName(matrixFeats)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // plan truncation, see cells above
 
     // ------------------------------------------------------ output tables
     val readable = readableCombos(liveDefs, rankNames)
