@@ -121,13 +121,26 @@ object Ann {
     var cents = Array.tabulate(kk)(i => sample(i).clone())
     var it = 0
     while (it < iters) {
+      // assignment is the O(samples·k·dim) bulk and is per-sample pure —
+      // compute it in parallel; the FP-order-sensitive accumulation then
+      // runs serially in sample order, so centroids stay bit-identical
+      // to the fully-serial loop on any machine
+      val assigned = new Array[Int](sample.length)
+      val cFinal = cents
+      locally {
+        import scala.collection.parallel.CollectionConverters._
+        sample.indices.par.foreach(i => assigned(i) = nearest(sample(i), cFinal))
+      }
       val sums = Array.fill(kk)(new Array[Double](dim))
       val counts = new Array[Int](kk)
-      sample.foreach { v =>
-        val c = nearest(v, cents)
+      var si = 0
+      while (si < sample.length) {
+        val v = sample(si)
+        val c = assigned(si)
         counts(c) += 1
         var i = 0
         while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        si += 1
       }
       cents = Array.tabulate(kk) { c =>
         if (counts(c) == 0) cents(c) // empty cell keeps its centroid

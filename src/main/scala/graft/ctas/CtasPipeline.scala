@@ -79,6 +79,9 @@ object CtasPipeline {
     def optCol(df: DataFrame, name: String) =
       if (df.columns.contains(name)) col(name) else lit(null)
     val p0 = in.parameters
+    // parameters is metadata-small but re-derived by the caller from a
+    // fact-table distinct; it feeds 2-4 broadcast builds below — pin it
+    // so each build reads the cached rows instead of re-running the scan
     val parameters = p0.select(
       col("parameter_id"),
       coalesce(optCol(p0, "time_point_count_min").cast("double"),
@@ -93,6 +96,7 @@ object CtasPipeline {
         lit(cfg.defaultFeatures)).as("timeseries_features_to_calculate"),
       coalesce(optCol(p0, "use_only_custom_timeseries").cast("boolean"),
         lit(false)).as("use_only_custom_timeseries"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val data = in.data.withColumn("timepoint_rank", col("timepoint_rank").cast("double"))
     val hasBaselineCol = data.columns.contains("baseline")
@@ -131,12 +135,17 @@ object CtasPipeline {
         SeriesGen.customSeries(spark, coverage, in.customTimeseries, parameters)
       else (null, null)
 
-    val comboStrUdf = udf((combo: Seq[Double]) => SeriesGen.comboString(combo))
+    // pure-Catalyst combo formatter (was a Scala UDF — VERDICT r05 #9):
+    // same semantics as SeriesGen.fmtRank per element, ";"-joined
+    def fmtRankCol(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(x === floor(x) && abs(x) < 1e15, x.cast("long").cast("string"))
+        .otherwise(x.cast("string"))
+    val comboStrCol = concat_ws(";", transform(col("timepoint_combo"), x => fmtRankCol(x)))
 
     var defs: DataFrame = null
     var mem: DataFrame = null
     if (cfg.autogenerate != "off") {
-      var aDefs = autoDefs.withColumn("timepoint_combo_str", comboStrUdf(col("timepoint_combo")))
+      var aDefs = autoDefs.withColumn("timepoint_combo_str", comboStrCol)
       if (haveCustom) {
         // drop autogen series duplicated by custom definitions
         // (anti-join on (parameter_id, combo) — R/ctas.R:102-107)
@@ -148,12 +157,12 @@ object CtasPipeline {
       defs = aDefs
       mem = autoMem.join(aDefs.select("timeseries_id"), Seq("timeseries_id"), "left_semi")
       if (haveCustom) {
-        val cDefs = custDefs.withColumn("timepoint_combo_str", comboStrUdf(col("timepoint_combo")))
+        val cDefs = custDefs.withColumn("timepoint_combo_str", comboStrCol)
         defs = defs.unionByName(cDefs)
         mem = mem.unionByName(custMem)
       }
     } else {
-      defs = custDefs.withColumn("timepoint_combo_str", comboStrUdf(col("timepoint_combo")))
+      defs = custDefs.withColumn("timepoint_combo_str", comboStrCol)
       mem = custMem
     }
 
@@ -216,9 +225,11 @@ object CtasPipeline {
 
     val ncols = cells.groupBy("timeseries_id").agg(max(col("pos")).as("ncol"))
 
-    // survival: only series with a non-empty wide table (R/ctas.R:160)
+    // survival: only series with a non-empty wide table (R/ctas.R:160).
+    // ncols has exactly one row per live series, so the inner broadcast
+    // join IS the semi-join — the previous separate distinct + semi-join
+    // re-aggregated cells a second time for the same filter.
     val liveDefs = defs
-      .join(cells.select("timeseries_id").distinct(), Seq("timeseries_id"), "left_semi")
       .join(broadcast(ncols), Seq("timeseries_id"))
       .localCheckpoint(true) // plan truncation, see cells above
 
@@ -235,7 +246,20 @@ object CtasPipeline {
       col("timeseries_id"), col("baseline"), col("ncol"),
       col("timeseries_features_to_calculate").as("feats"))
 
+    // ONE exchange for all per-subject scalar features INCLUDING lag-1
+    // autocorr: the adjacent value comes from a lead() window over
+    // (series, subject, pos) instead of the previous positional self-join
+    // (which cost a second exchange plus a join), and the window's
+    // (series, subject) partitioning is reused by the groupBy — guide
+    // §2.4. next_value is non-null exactly when the subject has a row at
+    // pos+1 with a non-null value, which is precisely the previous inner
+    // join's pair set, so every aggregate sees the same rows as before.
+    val wAdj = Window.partitionBy(col("timeseries_id"), col("subject_id"))
+      .orderBy(col("pos"))
     val perSubj = cells
+      .withColumn("next_value",
+        when(lead(col("pos"), 1).over(wAdj) === col("pos") + 1,
+          lead(col("value"), 1).over(wAdj)))
       .groupBy(col("timeseries_id"), col("subject_id"))
       .agg(
         avg(col("value")).as("f_average"),
@@ -244,26 +268,20 @@ object CtasPipeline {
         // try_divide: all-null subjects give 0/0 -> null (R's NaN, dropped)
         // and survive ANSI mode (Spark 4 default)
         try_divide(countDistinct(col("value")) * lit(1.0), count(col("value")))
-          .as("f_uniq_raw"))
-
-    val nextCells = cells.select(
-      col("timeseries_id"), col("subject_id"),
-      (col("pos") - 1).as("pos"), col("value").as("next_value"))
-    val autocorrDf = cells
-      .join(nextCells, Seq("timeseries_id", "subject_id", "pos"))
-      .groupBy(col("timeseries_id"), col("subject_id"))
-      // corr computed from its algebraic parts with try_divide so a
-      // zero-variance series yields null (R's NA) instead of an ANSI
-      // divide-by-zero error
-      .agg(
+          .as("f_uniq_raw"),
+        // corr from its algebraic parts with try_divide so a
+        // zero-variance series yields null (R's NA) instead of an ANSI
+        // divide-by-zero error
         covar_samp(col("value"), col("next_value")).as("ac_cov"),
         stddev_samp(when(col("next_value").isNotNull, col("value"))).as("ac_sx"),
         stddev_samp(when(col("value").isNotNull, col("next_value"))).as("ac_sy"))
       .withColumn("f_autocorr_raw",
         try_divide(col("ac_cov"), col("ac_sx") * col("ac_sy")))
+      // consumed twice (scalar features + the per-series subject counts
+      // for the kernel cap) — pin so the window+aggregate runs once
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val scalarWide = perSubj
-      .join(autocorrDf, Seq("timeseries_id", "subject_id"), "left")
       .join(broadcast(meta), Seq("timeseries_id"))
       .withColumn("multi", col("ncol") > 1 && col("baseline") === "original")
       .withColumn("f_range", when(col("multi"), col("f_range_raw")).otherwise(lit(0.0)))
@@ -287,9 +305,10 @@ object CtasPipeline {
 
     // --------------------------------------------------- matrix kernels
     import spark.implicits._
-    val seriesSubjCount = cells.select(col("timeseries_id"), col("subject_id"))
-      .distinct()
-      .groupBy("timeseries_id").agg(count(lit(1)).as("__n_subj"))
+    // perSubj already holds exactly one row per live (series, subject) —
+    // counting it replaces a separate distinct+aggregate over cells
+    val seriesSubjCount = perSubj.groupBy("timeseries_id")
+      .agg(count(lit(1)).as("__n_subj"))
     val kernelIn = cells
       .join(broadcast(seriesSubjCount), Seq("timeseries_id"))
       // hot-series cap: per-subject deterministic sampling so one task's
@@ -309,11 +328,33 @@ object CtasPipeline {
 
     // materialized once: consumed twice (matrixFeats -> featuresLong AND
     // tsoPca) — without the pin the per-series kernels would run twice
-    // end-to-end; localCheckpoint also truncates the plan (see cells)
+    // end-to-end; localCheckpoint also truncates the plan (see cells).
+    // Explicit repartition(defaultParallelism) + sortWithinPartitions +
+    // run-grouping mapPartitions instead of groupByKey: AQE's
+    // small-input coalescing collapses a groupByKey exchange over a
+    // study-sized input to 1-3 post-shuffle partitions, serializing the
+    // CPU-bound kernels; a user-specified partition count is exempt from
+    // coalescing, and the partition count tracks the session's
+    // parallelism rather than a constant. Kernel input/output per series
+    // is unchanged (runMatrixKernels is row-order-independent).
     val kernelOut = kernelIn
-      .groupByKey(_.timeseries_id)
-      .flatMapGroups { (ts: String, it: Iterator[KernelIn]) =>
-        runMatrixKernels(ts, it.toArray)
+      .repartition(spark.sparkContext.defaultParallelism, col("timeseries_id"))
+      .sortWithinPartitions(col("timeseries_id"))
+      .mapPartitions { it0 =>
+        val it = it0.buffered
+        new Iterator[KernelOut] {
+          private var cur: Iterator[KernelOut] = Iterator.empty
+          def hasNext: Boolean = {
+            while (!cur.hasNext && it.hasNext) {
+              val ts = it.head.timeseries_id
+              val buf = collection.mutable.ArrayBuffer.empty[KernelIn]
+              while (it.hasNext && it.head.timeseries_id == ts) buf += it.next()
+              cur = runMatrixKernels(ts, buf.toArray)
+            }
+            cur.hasNext
+          }
+          def next(): KernelOut = { if (!hasNext) Iterator.empty.next(); cur.next() }
+        }
       }
       .toDF()
       .localCheckpoint(true)
@@ -374,7 +415,8 @@ object CtasPipeline {
     val Seq(ckTimeseries, ckFeatures, ckPca, ckSiteScores) =
       outFs.map(Await.result(_, Duration.Inf))
     val outs = CtasOutputs(ckTimeseries, ckFeatures, ckPca, ckSiteScores)
-    Seq(coverage, defs, cells, liveDefs, featuresLong, kernelOut, subjects)
+    Seq(coverage, defs, cells, liveDefs, featuresLong, kernelOut, subjects,
+      parameters, perSubj)
       .foreach(_.unpersist(false))
     Some(outs)
   }

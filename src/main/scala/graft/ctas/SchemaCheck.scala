@@ -57,8 +57,36 @@ object SchemaCheck {
       "custom_reference_groups" -> in.customReferenceGroups,
       "custom_timeseries" -> in.customTimeseries)
 
+    // Fused validation aggregates (one job per table instead of separate
+    // isEmpty / duplicate-id / subject_count_min jobs — each extra action
+    // re-ran the whole derivation of these tables): subjects gets
+    // (row count, distinct ids) in one pass, parameters gets
+    // (row count, #rows with subject_count_min < 2). Check ORDER below is
+    // unchanged — emptiness first, then columns/types, then the domain
+    // checks — so every failure raises the same message as before.
+    val (nSubjects, subjectDupExists) = {
+      val r = in.subjects.agg(
+        count(lit(1)), count(col("subject_id")), countDistinct(col("subject_id")))
+        .collect()(0)
+      val n = r.getLong(0); val nonNull = r.getLong(1); val distinct = r.getLong(2)
+      // dup iff some id group (including the null group) has > 1 member
+      (n, nonNull > distinct || (n - nonNull) > 1)
+    }
+    val (nParameters, nScmBelowTwo) = {
+      val scmCnt =
+        if (in.parameters.columns.contains("subject_count_min"))
+          sum(when(col("subject_count_min") < 2, 1L).otherwise(0L))
+        else lit(0L).cast("long")
+      val r = in.parameters.agg(count(lit(1)), coalesce(scmCnt, lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+
     tables.foreach { case (name, df) =>
-      val empty = df.isEmpty
+      val empty = name match {
+        case "subjects"   => nSubjects == 0L
+        case "parameters" => nParameters == 0L
+        case _            => df.isEmpty
+      }
       if (empty) {
         if (name == "custom_reference_groups" || name == "custom_timeseries") ()
         else fail(s"The data frame $name is empty!")
@@ -83,9 +111,9 @@ object SchemaCheck {
       }
     }
 
-    // subject_count_min >= 2 per parameter (R/ctas.R:1154-1158)
-    if (in.parameters.columns.contains("subject_count_min") &&
-      !in.parameters.filter(col("subject_count_min") < 2).isEmpty)
+    // subject_count_min >= 2 per parameter (R/ctas.R:1154-1158) — from
+    // the fused parameters aggregate above
+    if (nScmBelowTwo > 0L)
       fail("Some parameters' subject_count_min parameter is below two!")
 
     // allowed feature names (R/ctas.R:1151, 1162-1163)
@@ -103,9 +131,9 @@ object SchemaCheck {
     if (cfg.autogenerate == "off" && in.customTimeseries.isEmpty)
       fail("Custom timeseries must be defined if autogenerate_timeseries is set to FALSE!")
 
-    // unique subject ids (R/ctas.R:1179-1185)
-    val dup = in.subjects.groupBy("subject_id").count().filter(col("count") > 1)
-    if (!dup.isEmpty)
+    // unique subject ids (R/ctas.R:1179-1185) — from the fused subjects
+    // aggregate above
+    if (subjectDupExists)
       fail("There are replicate subject IDs in the subjects df!")
   }
 

@@ -158,10 +158,23 @@ object SiteScoring {
     * cumulative extremum gives every tied row the same adjusted value
     * (exactly R's behaviour), so the output is order-independent.
     */
+  /** Row gate for the ranked methods' driver fast path (same bound and
+    * rationale as [[hommelMaxRows]]): at or below it the whole p vector
+    * is metadata-scale — the distributed recipe's own carries already
+    * collect O(K) rows, and one bounded collect + broadcast join-back
+    * replaces its 3 jobs + range exchange + window. Above it the
+    * distributed recipe below is the only path (SiteScoringScaleSpec
+    * drives 10⁶ rows through it). Both produce identical doubles: the
+    * per-rank factor expressions are evaluated in the same operation
+    * order, and the cumulative extremum makes tied-p rank assignment
+    * irrelevant.
+    */
+  val rankedDriverMaxRows = 100000
+
   def padjust(df: DataFrame, pCol: String, outCol: String, method: String): DataFrame =
     method match {
       case "fdr" | "BH" | "holm" | "hochberg" | "BY" =>
-        rankedAdjust(df, pCol, outCol, method)
+        rankedAdjustDispatch(df, pCol, outCol, method)
       case "bonferroni" =>
         val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = cached.count()
@@ -237,6 +250,75 @@ object SiteScoring {
     }
     val out = new Array[Double](n)
     for (r <- 0 until n) out(ord(r)._2) = math.max(pa(r), p(r))
+    out
+  }
+
+  /** size dispatch for the ranked methods: a single bounded
+    * limit-collect probes the row count (if it comes back within the
+    * gate it has already materialized the pinned id cache AND fetched
+    * the whole p vector — no separate count job); larger inputs fall
+    * through to the distributed recipe untouched.
+    */
+  private def rankedAdjustDispatch(
+      df: DataFrame, pCol: String, outCol: String, method: String): DataFrame = {
+    val spark = df.sparkSession
+    val withId = df.withColumn("__mid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val head = withId.select(col("__mid"), col(pCol).cast("double"))
+      .limit(rankedDriverMaxRows + 1).collect()
+    if (head.length > rankedDriverMaxRows) {
+      withId.unpersist(false)
+      return rankedAdjust(df, pCol, outCol, method)
+    }
+    if (head.length == 0) {
+      withId.unpersist(false)
+      return df.withColumn(outCol, lit(null).cast("double"))
+    }
+    val adj = rankedDriverKernel(head.map(_.getDouble(1)), method)
+    import spark.implicits._
+    val adjDf = broadcast(
+      head.map(_.getLong(0)).zip(adj).toSeq.toDF("__mid", outCol))
+    withId.join(adjDf, "__mid").drop("__mid")
+  }
+
+  /** driver kernel for the ranked methods — the identical per-rank
+    * factor arithmetic and cumulative extremum as [[rankedAdjust]], on a
+    * collected p vector. NaN handling mirrors Spark's min/max/least
+    * (NaN is the largest value; least(1.0, NaN) = 1.0).
+    */
+  private[graft] def rankedDriverKernel(ps: Array[Double], method: String): Array[Double] = {
+    val n = ps.length.toLong
+    val ord = ps.zipWithIndex.sortBy(_._1) // p ascending; tie order irrelevant
+    def sparkMin(a: Double, b: Double): Double =
+      if (a.isNaN) b else if (b.isNaN) a else math.min(a, b)
+    def sparkMax(a: Double, b: Double): Double =
+      if (a.isNaN || b.isNaN) Double.NaN else math.max(a, b)
+    def factor(r: Int): Double = {
+      val rank = r + 1L
+      val p = ord(r)._1
+      method match {
+        case "fdr" | "BH" => p * n / rank
+        case "BY"         => p * harmonicNumber(n) * n / rank
+        case _            => p * (n - rank + 1L) // holm, hochberg
+      }
+    }
+    val cum = new Array[Double](ps.length)
+    if (method == "holm") {
+      var run = Double.NegativeInfinity
+      var r = 0
+      while (r < ps.length) { run = sparkMax(run, factor(r)); cum(r) = run; r += 1 }
+    } else {
+      var run = Double.PositiveInfinity
+      var r = ps.length - 1
+      while (r >= 0) { run = sparkMin(run, factor(r)); cum(r) = run; r -= 1 }
+    }
+    val out = new Array[Double](ps.length)
+    var r = 0
+    while (r < ps.length) {
+      val v = cum(r)
+      out(ord(r)._2) = if (v.isNaN) 1.0 else math.min(1.0, v) // least(1.0, ·)
+      r += 1
+    }
     out
   }
 

@@ -19,13 +19,16 @@ import org.apache.spark.storage.StorageLevel
   * standard O(log n)-round dataflow CC. Each half-round is ONE hash
   * exchange on the node id (the per-node neighborhood min is a window
   * aggregate over that partitioning, not a groupBy+join) plus the
-  * distinct that keeps the edge multiset a set. No step ever holds a
-  * component on one task — only a node's direct neighborhood meets in
-  * one place, and both stars strictly shrink high-degree neighborhoods
-  * toward the component minimum, so hot nodes lose degree as rounds
-  * proceed rather than accumulating it. This is why label-propagation
-  * (component-sized state per key) is the wrong shape at corpus scale
-  * and star-contraction is the published one.
+  * distinct that keeps the edge multiset a set. Only a node's direct
+  * neighborhood meets in one place; NON-root hot nodes lose degree as
+  * rounds proceed. The component-min root is the exception (ADVICE r05):
+  * as contraction converges its neighborhood approaches the full
+  * component, so the final rounds' largeStar window does hold one
+  * component's edge list on the root's task — bounded by the largest
+  * component, which upstream candidate capping (Dedup.capBuckets) keeps
+  * far below the corpus. Label-propagation has the same hot key WITHOUT
+  * the degree-shedding of every other node, which is why
+  * star-contraction is the published corpus-scale shape.
   *
   * Driver-side state per round is one (count, checksum) row — the
   * convergence test — and lineage is truncated each round with a
@@ -41,18 +44,32 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Edge-count gate for the driver union-find fast path: below it the
+    * normalized edge set is metadata-scale (≤ ~16 MB collected) and the
+    * whole contraction is one collect + one broadcast join instead of
+    * O(log n) shuffle rounds — the same size-based strategy dispatch as
+    * SeriesGen.autogenerate's kernel/relational switch. The star rounds
+    * remain the only path above the gate (and the only shape that works
+    * at corpus scale); both paths produce the identical min-reachable-id
+    * labeling (ConnectedComponentsSpec pins them against each other).
+    */
+  val maxDriverEdges: Long = 1L << 20
+
   /** @param pairs undirected edges, one row per pair (self-loops and
     *              duplicate/reversed pairs are fine — normalized away)
     * @param maxRounds safety bound on star rounds; the alternation
     *                  converges in O(log²) rounds in theory and a
     *                  handful in practice — exceeding this throws
     *                  rather than returning a half-contracted labeling
+    * @param driverEdgeCap override of [[maxDriverEdges]] (0 forces the
+    *                      distributed star rounds — used by specs)
     */
   def connectedComponents(
       pairs: DataFrame,
       id1: String,
       id2: String,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50,
+      driverEdgeCap: Long = maxDriverEdges): DataFrame = {
     val nodes = pairs.select(col(id1).as("id"))
       .unionByName(pairs.select(col(id2).as("id")))
       .distinct()
@@ -93,7 +110,11 @@ object ConnectedComponents {
     // order-independent edge-set fingerprint: count + bit_xor of row
     // hashes (xor, unlike sum, cannot overflow under ANSI arithmetic;
     // the edge set is distinct so xor self-cancellation can't hide a
-    // change, and a 64-bit collision merely stops one round early)
+    // change). A 64-bit collision between two CONSECUTIVE, differing
+    // edge sets would exit the loop with a half-contracted labeling
+    // (ADVICE r05 — not merely an early stop); at ~2⁻⁶⁴ per round the
+    // expected cost is negligible against re-verifying the set exactly
+    // every round.
     def checksum(e: DataFrame): (Long, Long) = {
       val r = e.agg(
         count(lit(1)).as("n"),
@@ -102,6 +123,35 @@ object ConnectedComponents {
     }
 
     var prev = checksum(edges)
+
+    // size dispatch: the pre-loop checksum already counted the
+    // normalized edges, so the gate costs no extra job. Only id types
+    // whose driver-side ordering provably matches Spark's least/greatest
+    // (integrals, floating point, binary-collated strings) take the fast
+    // path; anything else falls through to the star rounds.
+    val idType = pairs.schema(id1).dataType
+    val orderable = idType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.DoubleType |
+          org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
+    if (prev._1 <= driverEdgeCap && orderable) {
+      val labels = driverUnionFind(edges.collect())
+      edges.unpersist(false)
+      val spark = pairs.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("__root", idType)))
+      import scala.jdk.CollectionConverters._
+      val labelDf = spark.createDataFrame(
+        labels.map { case (a, b) => org.apache.spark.sql.Row(a, b) }.asJava, schema)
+      return nodes
+        .join(broadcast(labelDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__root"), col("id")).as("component"))
+    }
+
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -125,6 +175,64 @@ object ConnectedComponents {
     nodes
       .join(edges.select(col("u").as("id"), col("v").as("__root")), Seq("id"), "left")
       .select(col("id"), coalesce(col("__root"), col("id")).as("component"))
+  }
+
+  /** strict less-than matching Spark's least/greatest for the id types
+    * admitted by the fast-path gate: unsigned byte-wise UTF-8 compare for
+    * strings (binary collation), natural order for numerics.
+    */
+  private def idLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: String, y: String) =>
+      val xb = x.getBytes("UTF-8"); val yb = y.getBytes("UTF-8")
+      val n = math.min(xb.length, yb.length)
+      var i = 0
+      while (i < n) {
+        val c = (xb(i) & 0xff) - (yb(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      xb.length < yb.length
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      if (x.isInstanceOf[java.lang.Double] || x.isInstanceOf[java.lang.Float])
+        x.doubleValue < y.doubleValue
+      else x.longValue < y.longValue
+    case _ => throw new IllegalStateException(s"unorderable id: $a") // gate excludes
+  }
+
+  /** driver-side union-find with path halving over a collected,
+    * normalized edge set (≤ driverEdgeCap rows); returns one
+    * (id, componentMinId) row per node appearing in the edges — the
+    * identical labeling the star rounds converge to.
+    */
+  private def driverUnionFind(edges: Array[org.apache.spark.sql.Row]): Seq[(Any, Any)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x0: Any): Any = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) {
+        val gp = parent.getOrElse(p, p)
+        parent(x) = gp // path halving
+        x = gp
+        p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    edges.foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
+    val nodes = parent.keys.toSeq
+    nodes.foreach { n =>
+      val r = find(n)
+      minOf.get(r) match {
+        case Some(m) => if (idLt(n, m)) minOf(r) = n
+        case None    => minOf(r) = n
+      }
+    }
+    nodes.map(n => (n, minOf(find(n))))
   }
 
   /** Near-duplicate clusters end-to-end: pairs → components → one row

@@ -123,6 +123,37 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** Exact all-pairs Jaccard over a (id, sh: array<string>) table of
+    * DISTINCT shingles, via a shingle-inverted-index self-join instead of
+    * the O(n²) pair enumeration: explode to (id, shingle), equi-join on
+    * the shingle, count common shingles per (id1 < id2) pair, and derive
+    * |union| = |sh1| + |sh2| − common. Only pairs sharing ≥ 1 shingle are
+    * emitted (jaccard > 0), which is equivalent to the all-pairs form
+    * under any positive threshold filter — and the join output is bounded
+    * by Σ_shingle c·(c−1)/2 (document-frequency pairs), not n², so it is
+    * the corpus-scale shape. Values are identical to
+    * size(array_intersect)/size(array_union): the arrays are distinct, so
+    * the equi-join count IS the intersection size, and the same integer
+    * division is performed in doubles.
+    */
+  def jaccardAllPairsByIndex(sh: DataFrame, idCol: String = "doc_id",
+      shCol: String = "sh"): DataFrame = {
+    val sizes = sh.select(col(idCol).as("__id"), size(col(shCol)).as("__n"))
+    val ex = sh.select(col(idCol).as("__id"), explode(col(shCol)).as("__s"))
+    val l = ex.select(col("__id").as("id1"), col("__s"))
+    val r = ex.select(col("__id").as("id2"), col("__s"))
+    l.join(r, Seq("__s"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("__common"))
+      .join(broadcast(sizes.select(col("__id").as("id1"), col("__n").as("__n1"))), Seq("id1"))
+      .join(broadcast(sizes.select(col("__id").as("id2"), col("__n").as("__n2"))), Seq("id2"))
+      .withColumn("jaccard",
+        col("__common").cast("double") /
+          (col("__n1") + col("__n2") - col("__common")).cast("double"))
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** Exact word-shingle Jaccard for a pair table (verification stage).
     * Shingles are hashed to longs (xxhash64) before the join — the same
     * Jaccard up to negligible collision probability, but the shuffle

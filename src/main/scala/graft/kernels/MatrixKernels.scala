@@ -19,23 +19,50 @@ object MatrixKernels {
     val nRows = m.length
     val p = if (nRows == 0) 0 else m(0).length
     val d = Array.ofDim[Double](nRows, nRows)
+    // rows with no NaN take a branch-free inner loop (same terms, same
+    // accumulation order — bit-identical, just faster on the common case)
+    val clean = new Array[Boolean](nRows)
+    var r = 0
+    while (r < nRows) {
+      var k = 0
+      var ok = true
+      while (k < p) { if (m(r)(k).isNaN) { ok = false; k = p } else k += 1 }
+      clean(r) = ok
+      r += 1
+    }
     var i = 0
     while (i < nRows) {
+      val mi = m(i)
       var j = i + 1
       while (j < nRows) {
-        var sum = 0.0
-        var np = 0
-        var k = 0
-        while (k < p) {
-          val a = m(i)(k); val b = m(j)(k)
-          if (!a.isNaN && !b.isNaN) {
-            val diff = a - b
+        val mj = m(j)
+        var dij = 0.0
+        if (clean(i) && clean(j)) {
+          var sum = 0.0
+          var k = 0
+          while (k < p) {
+            val diff = mi(k) - mj(k)
             sum += diff * diff
-            np += 1
+            k += 1
           }
-          k += 1
+          // same final expression as the general path with np == p:
+          // sum*p/p is not always bit-equal to sum, so keep the division
+          dij = math.sqrt(sum * p / p)
+        } else {
+          var sum = 0.0
+          var np = 0
+          var k = 0
+          while (k < p) {
+            val a = mi(k); val b = mj(k)
+            if (!a.isNaN && !b.isNaN) {
+              val diff = a - b
+              sum += diff * diff
+              np += 1
+            }
+            k += 1
+          }
+          dij = if (np == 0) Double.NaN else math.sqrt(sum * p / np)
         }
-        val dij = if (np == 0) Double.NaN else math.sqrt(sum * p / np)
         d(i)(j) = dij
         d(j)(i) = dij
         j += 1
@@ -84,8 +111,8 @@ object MatrixKernels {
         if (j != i) { ds(idx) = dist(i)(j); idx += 1 }
         j += 1
       }
-      val sortedD = ds.sorted
-      val kd = sortedD(math.min(k, n - 1) - 1)
+      java.util.Arrays.sort(ds) // primitive in-place (no NaN here; gated above)
+      val kd = ds(math.min(k, n - 1) - 1)
       kDist(i) = kd
       val nb = scala.collection.mutable.ArrayBuffer.empty[Int]
       j = 0
@@ -134,19 +161,36 @@ object MatrixKernels {
     val n1 = bool.count(!_)
     val n2 = n - n1
     if (n1 == 0 || n2 == 0) return Double.NaN
-    // ranks of -score ascending = ranks of score descending
-    val order = score.indices.sortBy { i =>
-      val v = -score(i)
-      (v.isNaN, v) // NaNs last, stable
-    }
-    val ranks = new Array[Double](n)
+    // ranks of -score ascending = ranks of score descending; NaNs rank
+    // last in input order (R rank na.last=TRUE). Was a boxed
+    // indices.sortBy with tuple keys — the hot loop of own-site
+    // similarity (n AUROCs of n-1 values per series); now a primitive
+    // dual-array quicksort over the non-NaN entries with NaN indices
+    // appended in input order. Ties get averaged ranks, so tie order is
+    // irrelevant; output is bit-identical to the boxed version.
+    val keys = new Array[Double](n) // -score, non-NaN only
+    val order = new Array[Int](n)
+    var m = 0
     var i = 0
     while (i < n) {
+      if (!score(i).isNaN) { keys(m) = -score(i); order(m) = i; m += 1 }
+      i += 1
+    }
+    sortPairs(keys, order, 0, m - 1)
+    var nanPos = m
+    i = 0
+    while (i < n) {
+      if (score(i).isNaN) { order(nanPos) = i; nanPos += 1 }
+      i += 1
+    }
+    val ranks = new Array[Double](n)
+    i = 0
+    while (i < n) {
       var j = i
-      // average ranks over ties (NaN never ties with NaN here: R assigns
-      // consecutive ranks to NAs)
-      while (j + 1 < n && !score(order(j + 1)).isNaN && !score(order(i)).isNaN &&
-        score(order(j + 1)) == score(order(i))) j += 1
+      // average ranks over ties (NaN never ties: consecutive ranks)
+      if (i < m) {
+        while (j + 1 < m && score(order(j + 1)) == score(order(i))) j += 1
+      }
       val avg = (i + j + 2) / 2.0 // 1-based average rank
       var t = i
       while (t <= j) { ranks(order(t)) = avg; t += 1 }
@@ -160,6 +204,48 @@ object MatrixKernels {
     }
     u -= n1.toDouble * (n1 + 1) / 2.0
     1.0 - u / n1.toDouble / n2.toDouble
+  }
+
+  /** median-of-three quicksort on a primitive key array with a companion
+    * index array (no boxing). Equal keys keep arbitrary order — callers
+    * must be tie-order-invariant (auroc averages tied ranks).
+    */
+  private def sortPairs(k: Array[Double], v: Array[Int], lo0: Int, hi0: Int): Unit = {
+    var lo = lo0
+    var hi = hi0
+    while (lo < hi) {
+      if (hi - lo < 16) { // insertion sort for small ranges
+        var i = lo + 1
+        while (i <= hi) {
+          val kk = k(i); val vv = v(i)
+          var j = i - 1
+          while (j >= lo && k(j) > kk) { k(j + 1) = k(j); v(j + 1) = v(j); j -= 1 }
+          k(j + 1) = kk; v(j + 1) = vv
+          i += 1
+        }
+        return
+      }
+      val mid = lo + (hi - lo) / 2
+      // median-of-three pivot
+      val pa = k(lo); val pb = k(mid); val pc = k(hi)
+      val pivot =
+        if (pa < pb) { if (pb < pc) pb else if (pa < pc) pc else pa }
+        else { if (pa < pc) pa else if (pb < pc) pc else pb }
+      var i = lo
+      var j = hi
+      while (i <= j) {
+        while (k(i) < pivot) i += 1
+        while (k(j) > pivot) j -= 1
+        if (i <= j) {
+          val tk = k(i); k(i) = k(j); k(j) = tk
+          val tv = v(i); v(i) = v(j); v(j) = tv
+          i += 1; j -= 1
+        }
+      }
+      // recurse into the smaller half, loop on the larger
+      if (j - lo < hi - i) { sortPairs(k, v, lo, j); lo = i }
+      else { sortPairs(k, v, i, hi); hi = j }
+    }
   }
 
   /** Own-site similarity score (R/ctas.R:432-516): for each subject at a

@@ -200,12 +200,10 @@ object DedupAnnQueries {
         val sh = docs
           .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__w"))
           .select(col("doc_id"), Dedup.shinglesFromWords(col("__w"), 3).as("sh"))
-        val l = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
-        val r = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
-        val truePairs = l.join(r, col("id1") < col("id2"))
-          .withColumn("jaccard",
-            size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-              size(array_union(col("sh1"), col("sh2"))).cast("double"))
+        // inverted-index all-pairs Jaccard (identical values; the n²
+        // BroadcastNestedLoopJoin with per-pair array_intersect was the
+        // whole cost of this query — see Dedup.jaccardAllPairsByIndex)
+        val truePairs = Dedup.jaccardAllPairsByIndex(sh)
           .filter(col("jaccard") >= 0.9)
           .select(col("id1"), col("id2"),
             round(col("jaccard"), 6).as("jaccard"), lit(1).as("in_true"))

@@ -112,10 +112,15 @@ object HeavyHitters {
     val items = df.select(col(itemCol).cast("string").as("item"))
       .filter(col("item").isNotNull)
     // non-candidates fold into the null group so ONE tiny aggregate
-    // yields both the candidate counts and (as the group sum) n
+    // yields both the candidate counts and (as the group sum) n.
+    // Persisted (ADVICE r05): `counts` is <= k rows but is referenced by
+    // both the broadcast-total branch and the filter branch — without
+    // the pin pass 2 re-ran the full input scan+aggregate when
+    // ReuseExchange didn't fire, making the "two-pass" shape three scans.
     val counts = items
       .groupBy(when(col("item").isin(cands: _*), col("item")).as("item"))
       .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = counts.agg(sum(col("cnt")).as("n_total"))
     counts.filter(col("item").isNotNull)
       .crossJoin(broadcast(total))
