@@ -233,15 +233,16 @@ object CtasPipeline {
       .join(broadcast(ncols), Seq("timeseries_id"))
       .localCheckpoint(true) // plan truncation, see cells above
 
-    phase("cells")
+    phase("cells") // (liveDefs emptiness gate; features/kernels/scores follow)
     if (liveDefs.isEmpty) {
       Seq(coverage, defs, cells, liveDefs, subjects).foreach(_.unpersist(false)); return None
     }
 
     // --------------------------------------------------- scalar features
     // range / sd / unique_value_count_relative / average as pure Catalyst
-    // aggregates over cells (R/ctas.R:616-652); autocorr via the
-    // position-adjacency self-join + corr (pairwise-complete semantics).
+    // aggregates over cells (R/ctas.R:616-652); autocorr via a lead()
+    // window (pairwise-complete semantics preserved, see below).
+    phase("features")
     val meta = liveDefs.select(
       col("timeseries_id"), col("baseline"), col("ncol"),
       col("timeseries_features_to_calculate").as("feats"))
@@ -329,6 +330,7 @@ object CtasPipeline {
     // materialized once: consumed twice (matrixFeats -> featuresLong AND
     // tsoPca) — without the pin the per-series kernels would run twice
     // end-to-end; localCheckpoint also truncates the plan (see cells).
+    phase("kernels")
     // Explicit repartition(defaultParallelism) + sortWithinPartitions +
     // run-grouping mapPartitions instead of groupByKey: AQE's
     // small-input coalescing collapses a groupByKey exchange over a
@@ -392,6 +394,7 @@ object CtasPipeline {
         col("v1").as("pc1"), col("v2").as("pc2"))
 
     // -------------------------------------------------------- site scores
+    phase("scores")
     val tsoSiteScores = SiteScoring.score(
       spark, featuresLong, liveDefs, subjects, in.customReferenceGroups, cfg)
 

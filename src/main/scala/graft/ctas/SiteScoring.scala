@@ -62,21 +62,24 @@ object SiteScoring {
         .withColumn("region",
           if (hasRegion) coalesce(col("region"), lit("")) else lit(""))
 
-    // group eligibility (R/ctas.R:200-204)
-    val grpOk = base
-      .groupBy(col("timeseries_id"), col("feature"), col("ref_group"))
-      .agg(countDistinct(col("site")).as("n_sites"), count(lit(1)).as("n"),
-        first(col("subject_count_min")).as("scm"))
-      .filter(col("n_sites") >= 2 && col("n") >= col("scm") && col("n_sites") < col("n"))
-      .select("timeseries_id", "feature", "ref_group")
-
-    val eligible = base.join(grpOk, Seq("timeseries_id", "feature", "ref_group"), "left_semi")
+    // group eligibility (R/ctas.R:200-204) as window aggregates over the
+    // SAME (series, feature, ref_group) partitioning the hot-group cap
+    // below needs anyway — one exchange instead of the previous separate
+    // groupBy aggregate + left-semi join back (same predicate per row:
+    // every base row carries its group's subject_count_min)
+    val grpW = Window.partitionBy(col("timeseries_id"), col("feature"), col("ref_group"))
+    val eligible = base
+      .withColumn("__gn", count(lit(1)).over(grpW))
+      .withColumn("__gsites", size(collect_set(col("site")).over(grpW)))
+      .filter(col("__gsites") >= 2 && col("__gn") >= col("subject_count_min") &&
+        col("__gsites") < col("__gn"))
+      .drop("__gsites")
 
     if (cfg.siteScoringMethod == "avg_feat_value") {
       return avgFeatValue(eligible)
     }
     if (cfg.siteScoringMethod == "mixedeffects") {
-      return MixedEffects.score(spark, eligible, cfg)
+      return MixedEffects.score(spark, eligible.drop("__gn"), cfg)
     }
 
     // hot-group cap (VERDICT r03 "What's wrong" #2): the KS kernel holds
@@ -84,9 +87,8 @@ object SiteScoring {
     // crawl scale (sites = hosts) a group can exceed task memory. Same
     // deterministic hash-sampling contract as the matrix kernels
     // (CtasPipeline.maxKernelSubjectsPerSeries) — a no-op below the cap.
-    val grpW = Window.partitionBy(col("timeseries_id"), col("feature"), col("ref_group"))
+    // __gn (the group size) comes from the eligibility window above.
     val ksCapped = eligible
-      .withColumn("__gn", count(lit(1)).over(grpW))
       .filter(graft.rollup.Skew.sampleWithinCap(
         concat_ws("|", col("timeseries_id"), col("feature"), col("ref_group"),
           col("subject_id")),
@@ -98,10 +100,34 @@ object SiteScoring {
         col("feature_value").as("value"))
       .as[KsIn]
 
+    // explicit repartition + run-grouping mapPartitions instead of
+    // groupByKey, for the same reason as CtasPipeline's matrix kernels:
+    // AQE coalesces a study-sized groupByKey exchange to 1-3 partitions
+    // and serializes the CPU-bound KS kernels; a user-specified
+    // partition count is exempt, and it tracks the session parallelism.
+    // ksKernel sorts its group internally, so row order is irrelevant.
     val scored = ksRows
-      .groupByKey(r => (r.timeseries_id, r.feature, r.ref_group))
-      .flatMapGroups { (key: (String, String, String), it: Iterator[KsIn]) =>
-        ksKernel(key._1, key._2, key._3, it.toArray)
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("timeseries_id"), col("feature"), col("ref_group"))
+      .sortWithinPartitions(col("timeseries_id"), col("feature"), col("ref_group"))
+      .mapPartitions { it0 =>
+        val it = it0.buffered
+        new Iterator[KsOut] {
+          private var cur: Iterator[KsOut] = Iterator.empty
+          def hasNext: Boolean = {
+            while (!cur.hasNext && it.hasNext) {
+              val h = it.head
+              val key = (h.timeseries_id, h.feature, h.ref_group)
+              val buf = collection.mutable.ArrayBuffer.empty[KsIn]
+              while (it.hasNext &&
+                (it.head.timeseries_id, it.head.feature, it.head.ref_group) == key)
+                buf += it.next()
+              cur = ksKernel(key._1, key._2, key._3, buf.toArray)
+            }
+            cur.hasNext
+          }
+          def next(): KsOut = { if (!hasNext) Iterator.empty.next(); cur.next() }
+        }
       }
       .toDF()
 

@@ -583,7 +583,7 @@ object RollupQueries {
         val q = StreamingTier.runFileStream(s, dir, "q_stream_hourly_sink")
         q.processAllAvailable()
         q.stop()
-        s.table("q_stream_hourly_sink").select(
+        q.sparkSession.table("q_stream_hourly_sink").select(
           col("series_id"), col("bucket").cast("long").as("bucket"),
           col("n"), col("sum").cast("long").as("sum"),
           col("sumsq").cast("long").as("sumsq"),
@@ -620,7 +620,7 @@ object RollupQueries {
           s, dir, "q_stream_sess_sink", "user_id", "ts", gapDuration = "3600 seconds")
         q.processAllAvailable()
         q.stop()
-        s.table("q_stream_sess_sink")
+        q.sparkSession.table("q_stream_sess_sink")
       },
       Some("""WITH e AS (
              |  SELECT user_id, CAST(epoch(ts) AS DOUBLE) AS t

@@ -36,17 +36,45 @@ object StreamingTier {
         col("n"), col("sum"), col("sumsq"), col("min"), col("max"))
   }
 
+  /** A session clone whose spark.sql.shuffle.partitions is derived from
+    * the stream's input size (~64 MB advisory per partition, clamped to
+    * the parent session's setting). Streaming stateful exchanges take
+    * their partition count — and thus their state-store count per
+    * micro-batch — from that conf at query START, and AQE cannot
+    * coalesce them afterwards; sizing it from the input does for
+    * streaming state what AQE's advisory coalescing does for batch
+    * shuffles: tiny streams stop paying a full session's worth of state
+    * stores per batch, large ones keep full parallelism. The clone
+    * shares the SparkContext (and the parent can read the memory sink
+    * via the returned query's `sparkSession`).
+    */
+  private[graft] def streamSession(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.SparkSession = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    val cap = spark.sessionState.conf.numShufflePartitions
+    val parts = math.min(cap.toLong, math.max(1L, bytes / (64L << 20) + 1L)).toInt
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s2
+  }
+
   /** drive a parquet-backed stream of pages through the hourly agg into
     * an in-memory sink; returns the sink table name. Complete output
-    * mode (the tier is a running aggregate).
+    * mode (the tier is a running aggregate). The memory sink registers
+    * in the stream's (cloned) session — read it via
+    * `q.sparkSession.table(queryName)`.
     */
   def runFileStream(
       spark: org.apache.spark.sql.SparkSession,
       pagesDir: String,
       queryName: String,
       watermark: String = "2 hours"): org.apache.spark.sql.streaming.StreamingQuery = {
-    val schema = spark.read.parquet(pagesDir).schema
-    val stream = spark.readStream.schema(schema).parquet(pagesDir)
+    val s2 = streamSession(spark, pagesDir)
+    val schema = s2.read.parquet(pagesDir).schema
+    val stream = s2.readStream.schema(schema).parquet(pagesDir)
     hourlyAgg(stream, None) // complete mode: no watermark needed
       .writeStream
       .outputMode("complete")

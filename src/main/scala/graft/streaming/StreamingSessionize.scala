@@ -48,8 +48,11 @@ object StreamingSessionize {
       tsCol: String,
       gapDuration: String,
       prepare: DataFrame => DataFrame = identity): StreamingQuery = {
-    val schema = spark.read.parquet(dir).schema
-    val stream = spark.readStream.schema(schema).parquet(dir)
+    // input-sized state partitioning; sink readable via q.sparkSession
+    // (see StreamingTier.streamSession)
+    val s2 = graft.rollup.StreamingTier.streamSession(spark, dir)
+    val schema = s2.read.parquet(dir).schema
+    val stream = s2.readStream.schema(schema).parquet(dir)
     sessionStats(prepare(stream), keyCol, tsCol, gapDuration)
       .writeStream
       .outputMode("complete")

@@ -13,7 +13,7 @@ class StreamingTierSpec extends GraftSuite {
     val q = StreamingTier.runFileStream(spark, dir, "stream_hourly")
     q.processAllAvailable()
     q.stop()
-    val streamed = spark.table("stream_hourly")
+    val streamed = q.sparkSession.table("stream_hourly")
 
     val batch = StreamingTier.hourlyAgg(spark.read.parquet(dir))
     val diff = streamed.alias("s").join(batch.alias("b"),
