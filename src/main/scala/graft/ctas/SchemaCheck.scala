@@ -64,14 +64,18 @@ object SchemaCheck {
     // (row count, #rows with subject_count_min < 2). Check ORDER below is
     // unchanged — emptiness first, then columns/types, then the domain
     // checks — so every failure raises the same message as before.
-    val (nSubjects, subjectDupExists) = {
-      val r = in.subjects.agg(
-        count(lit(1)), count(col("subject_id")), countDistinct(col("subject_id")))
-        .collect()(0)
-      val n = r.getLong(0); val nonNull = r.getLong(1); val distinct = r.getLong(2)
-      // dup iff some id group (including the null group) has > 1 member
-      (n, nonNull > distinct || (n - nonNull) > 1)
-    }
+    val (nSubjects, subjectDupExists) =
+      if (in.subjects.columns.contains("subject_id")) {
+        val r = in.subjects.agg(
+          count(lit(1)), count(col("subject_id")), countDistinct(col("subject_id")))
+          .collect()(0)
+        val n = r.getLong(0); val nonNull = r.getLong(1); val distinct = r.getLong(2)
+        // dup iff some id group (including the null group) has > 1 member
+        (n, nonNull > distinct || (n - nonNull) > 1)
+      } else
+        // missing column: the column check in the loop below raises the
+        // reference's message; only emptiness is probed here
+        (if (in.subjects.isEmpty) 0L else 1L, false)
     val (nParameters, nScmBelowTwo) = {
       val scmCnt =
         if (in.parameters.columns.contains("subject_count_min"))

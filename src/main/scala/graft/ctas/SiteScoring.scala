@@ -292,7 +292,9 @@ object SiteScoring {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val head = withId.select(col("__mid"), col(pCol).cast("double"))
       .limit(rankedDriverMaxRows + 1).collect()
-    if (head.length > rankedDriverMaxRows) {
+    // null p values would read as 0.0 driver-side; the distributed
+    // recipe's window aggregates skip them instead — defer to it
+    if (head.length > rankedDriverMaxRows || head.exists(_.isNullAt(1))) {
       withId.unpersist(false)
       return rankedAdjust(df, pCol, outCol, method)
     }
@@ -359,7 +361,7 @@ object SiteScoring {
     * descending rank (unboundedFollowing frames re-aggregate per row —
     * O(rows²) per partition; running frames are incremental).
     */
-  private def rankedAdjust(
+  private[graft] def rankedAdjust(
       df: DataFrame, pCol: String, outCol: String, method: String): DataFrame = {
     val spark = df.sparkSession
     val k = spark.sessionState.conf.numShufflePartitions

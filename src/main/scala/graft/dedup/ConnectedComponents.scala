@@ -129,12 +129,15 @@ object ConnectedComponents {
     // whose driver-side ordering provably matches Spark's least/greatest
     // (integrals, floating point, binary-collated strings) take the fast
     // path; anything else falls through to the star rounds.
+    // integral + string ids only: for these, boxed equality and the
+    // driver comparator provably match Spark's =/least semantics
+    // (floating-point ids would diverge on -0.0/0.0 and NaN — they fall
+    // through to the star rounds, which are type-agnostic)
     val idType = pairs.schema(id1).dataType
     val orderable = idType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
-          org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.DoubleType |
-          org.apache.spark.sql.types.FloatType => true
+          org.apache.spark.sql.types.StringType => true
       case _ => false
     }
     if (prev._1 <= driverEdgeCap && orderable) {
