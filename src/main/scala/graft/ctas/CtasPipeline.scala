@@ -72,13 +72,18 @@ object CtasPipeline {
     // fact-table distinct, every consumer would re-run that shuffle.
     // It is per-study small (one row per subject) — pin it once.
     val subjects = in.subjects.persist(StorageLevel.MEMORY_AND_DISK)
-    SchemaCheck.validate(in.copy(subjects = subjects), cfg)
+    // parameters is consulted twice at entry alone (SchemaCheck's fused
+    // aggregate + the defaults projection below); when the caller derives
+    // it from a fact-table distinct, validating the unpersisted frame ran
+    // that scan+distinct once more than needed — pin the INPUT frame so
+    // validation materializes the cache the projection then reads.
+    val p0 = in.parameters.persist(StorageLevel.MEMORY_AND_DISK)
+    SchemaCheck.validate(in.copy(subjects = subjects, parameters = p0), cfg)
 
     // Defaults fill (R/ctas.R:54-61). Optional columns may be missing the
     // right type when all-null; cast through double/boolean.
     def optCol(df: DataFrame, name: String) =
       if (df.columns.contains(name)) col(name) else lit(null)
-    val p0 = in.parameters
     // parameters is metadata-small but re-derived by the caller from a
     // fact-table distinct; it feeds 2-4 broadcast builds below — pin it
     // so each build reads the cached rows instead of re-running the scan
@@ -120,7 +125,7 @@ object CtasPipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     phase("coverage")
-    if (coverage.isEmpty) { Seq(coverage, subjects).foreach(_.unpersist(false)); return None } // R/ctas.R:76-81
+    if (coverage.isEmpty) { Seq(coverage, subjects, p0, parameters).foreach(_.unpersist(false)); return None } // R/ctas.R:76-81
 
     // ------------------------------------------------------- series defs
     phase("autogen")
@@ -178,7 +183,7 @@ object CtasPipeline {
 
     phase("defs")
     if (defs.isEmpty) { // R/ctas.R:143-148
-      Seq(coverage, defs, subjects).foreach(_.unpersist(false)); return None
+      Seq(coverage, defs, subjects, p0, parameters).foreach(_.unpersist(false)); return None
     }
 
     // ------------------------------------------------------------ cells
@@ -235,7 +240,7 @@ object CtasPipeline {
 
     phase("cells") // (liveDefs emptiness gate; features/kernels/scores follow)
     if (liveDefs.isEmpty) {
-      Seq(coverage, defs, cells, liveDefs, subjects).foreach(_.unpersist(false)); return None
+      Seq(coverage, defs, cells, liveDefs, subjects, p0, parameters).foreach(_.unpersist(false)); return None
     }
 
     // --------------------------------------------------- scalar features
@@ -419,7 +424,7 @@ object CtasPipeline {
       outFs.map(Await.result(_, Duration.Inf))
     val outs = CtasOutputs(ckTimeseries, ckFeatures, ckPca, ckSiteScores)
     Seq(coverage, defs, cells, liveDefs, featuresLong, kernelOut, subjects,
-      parameters, perSubj)
+      p0, parameters, perSubj)
       .foreach(_.unpersist(false))
     Some(outs)
   }

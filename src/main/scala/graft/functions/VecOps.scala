@@ -106,9 +106,9 @@ object VecOps {
 }
 
 private[functions] trait MatVecExpr extends UnaryExpression {
-  def mat: IndexedSeq[Double]
+  def matBc: org.apache.spark.broadcast.Broadcast[Array[Double]]
   def dim: Int
-  @transient protected lazy val matArr: Array[Double] = mat.toArray
+  @transient protected lazy val matArr: Array[Double] = matBc.value
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(DoubleType, _) =>
@@ -117,40 +117,52 @@ private[functions] trait MatVecExpr extends UnaryExpression {
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires array<double>, got $other")
     }
+  /** codegen: fetch the broadcast matrix once per operator instance (the
+    * task binary carries only the broadcast handle — at dim=768/nCells=256
+    * the old in-plan boxed IndexedSeq serialized to ~4.5 MiB and was
+    * re-shipped with EVERY stage's tasks; guide §5 "the driver should do
+    * almost no data work" applies to the plan it ships too).
+    */
+  protected def genWithMat(ctx: CodegenContext, ev: ExprCode,
+      call: (String, String) => String): ExprCode = {
+    val b = ctx.addReferenceObj("matBc", matBc, "org.apache.spark.broadcast.Broadcast")
+    val m = ctx.addMutableState("double[]", "matArr")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |if ($m == null) { $m = (double[]) $b.value(); }
+       |${ev.value} = ${call(c, m)};
+     """.stripMargin)
+  }
 }
 
 /** hyperplane LSH signature: `planes` sign bits of <v, h_p> in a long */
-case class HyperplaneSig(child: Expression, mat: IndexedSeq[Double], dim: Int)
+case class HyperplaneSig(child: Expression,
+    matBc: org.apache.spark.broadcast.Broadcast[Array[Double]],
+    dim: Int, planes: Int)
     extends MatVecExpr {
-  require(mat.length % dim == 0, s"flat matrix ${mat.length} not a multiple of dim $dim")
-  private val planes = mat.length / dim
   require(planes <= 64, s"$planes planes exceed one long")
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
   override def nullSafeEval(input: Any): Any =
     VecOps.signBits(input.asInstanceOf[ArrayData], matArr, dim, planes)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val m = ctx.addReferenceObj("mat", matArr, "double[]")
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.VecOps.signBits($c, $m, $dim, $planes)")
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    genWithMat(ctx, ev,
+      (c, m) => s"graft.functions.VecOps.signBits($c, $m, $dim, $planes)")
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
     copy(child = newChild)
 }
 
 /** top-`take` centroid rows by dot product, as array<int> (IVF probes) */
-case class TopCells(child: Expression, mat: IndexedSeq[Double], dim: Int, take: Int)
+case class TopCells(child: Expression,
+    matBc: org.apache.spark.broadcast.Broadcast[Array[Double]],
+    dim: Int, take: Int)
     extends MatVecExpr {
-  require(mat.length % dim == 0, s"flat matrix ${mat.length} not a multiple of dim $dim")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "top_cells"
   override def nullSafeEval(input: Any): Any =
     VecOps.topCells(input.asInstanceOf[ArrayData], matArr, dim, take)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val m = ctx.addReferenceObj("mat", matArr, "double[]")
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.VecOps.topCells($c, $m, $dim, $take)")
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    genWithMat(ctx, ev,
+      (c, m) => s"graft.functions.VecOps.topCells($c, $m, $dim, $take)")
   override protected def withNewChildInternal(newChild: Expression): TopCells =
     copy(child = newChild)
 }
@@ -199,11 +211,39 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 object MatVec {
   import org.apache.spark.sql.graftbridge.ColumnBridge._
 
-  def hyperplaneSig(vec: Column, mat: IndexedSeq[Double], dim: Int): Column =
-    column(HyperplaneSig(expression(vec), mat, dim))
+  /** One broadcast per distinct (context, matrix): the q- and c-sides of
+    * an LSH/IVF join use the same plane/centroid matrix, and the bench
+    * re-invokes queries — without the memo each call site would ship its
+    * own copy. Weak on the context so stopped test sessions don't pin
+    * their broadcasts.
+    */
+  private val bcMemo =
+    new java.util.WeakHashMap[org.apache.spark.SparkContext,
+      collection.mutable.HashMap[IndexedSeq[Double],
+        org.apache.spark.broadcast.Broadcast[Array[Double]]]]()
 
-  def topCells(vec: Column, mat: IndexedSeq[Double], dim: Int, take: Int): Column =
-    column(TopCells(expression(vec), mat, dim, take))
+  private def bcOf(mat: IndexedSeq[Double])
+      : org.apache.spark.broadcast.Broadcast[Array[Double]] = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    bcMemo.synchronized {
+      var m = bcMemo.get(sc)
+      if (m == null) {
+        m = collection.mutable.HashMap.empty
+        bcMemo.put(sc, m)
+      }
+      m.getOrElseUpdate(mat, sc.broadcast(mat.toArray))
+    }
+  }
+
+  def hyperplaneSig(vec: Column, mat: IndexedSeq[Double], dim: Int): Column = {
+    require(mat.length % dim == 0, s"flat matrix ${mat.length} not a multiple of dim $dim")
+    column(HyperplaneSig(expression(vec), bcOf(mat), dim, mat.length / dim))
+  }
+
+  def topCells(vec: Column, mat: IndexedSeq[Double], dim: Int, take: Int): Column = {
+    require(mat.length % dim == 0, s"flat matrix ${mat.length} not a multiple of dim $dim")
+    column(TopCells(expression(vec), bcOf(mat), dim, take))
+  }
 
   /** nearest centroid row (argmax dot, ties to the lowest row index) */
   def argMaxCell(vec: Column, mat: IndexedSeq[Double], dim: Int): Column =

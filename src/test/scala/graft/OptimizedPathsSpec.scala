@@ -162,4 +162,50 @@ class OptimizedPathsSpec extends GraftSuite {
         java.lang.Double.doubleToRawLongBits(viaPairs(k)), s"$k")
     }
   }
+
+  // ------------------------------------- MatVec broadcast matrix transport
+
+  test("MatVec matrices travel as ONE shared broadcast handle, values unchanged") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val dim = 768
+    val planes = 32
+    val mat = graft.ann.Ann.planeMatrix(planes, dim)
+    val c1 = graft.functions.MatVec.hyperplaneSig(col("vec"), mat, dim)
+    val c2 = graft.functions.MatVec.hyperplaneSig(col("vec"), mat, dim)
+    val e1 = ColumnBridge.expression(c1).asInstanceOf[graft.functions.HyperplaneSig]
+    val e2 = ColumnBridge.expression(c2).asInstanceOf[graft.functions.HyperplaneSig]
+    // identical matrix content -> one memoized broadcast per context (the
+    // q- and c-sides of an LSH/IVF join must not ship two copies)
+    assert(e1.matBc eq e2.matBc)
+    // the serialized plan carries a broadcast HANDLE, not the matrix: the
+    // 32x768 matrix is ~196 KB of raw doubles (and the old boxed
+    // IndexedSeq field serialized several times larger); the handle must
+    // stay orders of magnitude below that, or task binaries re-ship the
+    // matrix with every stage
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(e1.matBc); oos.close()
+    assert(bos.size() < 32 * 1024, s"broadcast handle serialized to ${bos.size()} bytes")
+    // value equivalence against plain driver-side loops on the same matrix
+    val rng = new java.util.SplittableRandom(7)
+    val rows = (0L until 64L).map(i => (i, Array.fill(dim)(rng.nextGaussian())))
+    val df = rows.toDF("id", "vec")
+    val got = df.select(col("id"), c1.as("sig"),
+        graft.functions.MatVec.topCells(
+          col("vec").cast("array<double>"), mat, dim, 3).as("cells"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Int](2)))).toMap
+    val matArr = mat.toArray
+    def dot(v: Array[Double], row: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += v(i) * matArr(row * dim + i); i += 1 }
+      s
+    }
+    rows.foreach { case (id, v) =>
+      var sig = 0L
+      (0 until planes).foreach(p => if (dot(v, p) >= 0) sig |= (1L << p))
+      assert(got(id)._1 === sig, s"sig id=$id")
+      val expectedCells = (0 until planes).sortBy(r => (-dot(v, r), r)).take(3)
+      assert(got(id)._2 === expectedCells, s"cells id=$id")
+    }
+  }
 }
