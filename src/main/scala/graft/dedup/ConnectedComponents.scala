@@ -16,18 +16,20 @@ import org.apache.spark.storage.StorageLevel
   *
   * Algorithm: alternating large-star / small-star (Kiveris et al.,
   * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
-  * standard O(log n)-round dataflow CC. Each half-round is ONE hash
-  * exchange on the node id (the per-node neighborhood min is a window
-  * aggregate over that partitioning, not a groupBy+join) plus the
-  * distinct that keeps the edge multiset a set. Only a node's direct
-  * neighborhood meets in one place; NON-root hot nodes lose degree as
-  * rounds proceed. The component-min root is the exception (ADVICE r05):
-  * as contraction converges its neighborhood approaches the full
-  * component, so the final rounds' largeStar window does hold one
-  * component's edge list on the root's task — bounded by the largest
-  * component, which upstream candidate capping (Dedup.capBuckets) keeps
-  * far below the corpus. Label-propagation has the same hot key WITHOUT
-  * the degree-shedding of every other node, which is why
+  * standard O(log n)-round dataflow CC. smallStar's per-node min is a
+  * window over partitionBy(u) (u = the LARGER endpoint: every node's
+  * smaller-neighbor list shrinks as rounds proceed, so that partition is
+  * never the hot one). largeStar's Γ-min is a map-side-partial
+  * aggregate joined back on u (ADVICE r05): the component-min root's Γ
+  * approaches the full component near convergence, and a window there
+  * would buffer that whole neighborhood in one task's frame — the
+  * partial aggregate reduces it inside each map task and the join back
+  * streams, with AQE skew-join able to split the root's partition. The
+  * root's join output rows still land on its hash partition (bounded by
+  * the largest component, which upstream candidate capping —
+  * Dedup.capBuckets — keeps far below the corpus), but they stream
+  * through rather than buffer. Label-propagation has the same hot key
+  * WITHOUT the degree-shedding of every other node, which is why
   * star-contraction is the published corpus-scale shape.
   *
   * Driver-side state per round is one (count, checksum) row — the
@@ -89,9 +91,20 @@ object ConnectedComponents {
     // so after convergence every edge is (node, its component min).
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      val w = Window.partitionBy(col("u"))
+      // Γ-min as a map-side-partial aggregate joined back, NOT a window
+      // (ADVICE r05): near convergence the component-min root's Γ
+      // approaches the whole component, and a window over partitionBy(u)
+      // would buffer that entire neighborhood in one task. The aggregate
+      // reduces the root's rows inside each map task (combiners), so only
+      // per-partition partial mins shuffle for it, and the join back is a
+      // streaming equi-join AQE's skew handling can split. sym is read
+      // twice, but e is a per-round localCheckpoint so the re-read is a
+      // cached-block scan, not a recompute.
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("__mv"))
+        .select(col("u"), least(col("u"), col("__mv")).as("m"))
       sym
-        .withColumn("m", least(col("u"), min(col("v")).over(w)))
+        .join(mins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
