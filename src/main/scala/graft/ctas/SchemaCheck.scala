@@ -61,10 +61,18 @@ object SchemaCheck {
     // isEmpty / duplicate-id / subject_count_min jobs — each extra action
     // re-ran the whole derivation of these tables): subjects gets
     // (row count, distinct ids) in one pass, parameters gets
-    // (row count, #rows with subject_count_min < 2). Check ORDER below is
-    // unchanged — emptiness first, then columns/types, then the domain
-    // checks — so every failure raises the same message as before.
-    val (nSubjects, subjectDupExists) =
+    // (row count, #rows with subject_count_min < 2). The five per-table
+    // probes are INDEPENDENT read-only actions, so they run concurrently
+    // (guide §2.6 — overlap independent jobs; each probe is mostly scan
+    // latency on the same fact table, and sequentially they serialized
+    // ~3 input scans). Results are AWAITED in the original order, so the
+    // check ORDER below is unchanged — emptiness first, then
+    // columns/types, then the domain checks — and every failure raises
+    // the same message as before.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val subjProbe: Future[(Long, Boolean)] = Future {
       if (in.subjects.columns.contains("subject_id")) {
         val r = in.subjects.agg(
           count(lit(1)), count(col("subject_id")), countDistinct(col("subject_id")))
@@ -76,7 +84,8 @@ object SchemaCheck {
         // missing column: the column check in the loop below raises the
         // reference's message; only emptiness is probed here
         (if (in.subjects.isEmpty) 0L else 1L, false)
-    val (nParameters, nScmBelowTwo) = {
+    }
+    val paramProbe: Future[(Long, Long)] = Future {
       val scmCnt =
         if (in.parameters.columns.contains("subject_count_min"))
           sum(when(col("subject_count_min") < 2, 1L).otherwise(0L))
@@ -84,12 +93,17 @@ object SchemaCheck {
       val r = in.parameters.agg(count(lit(1)), coalesce(scmCnt, lit(0L))).collect()(0)
       (r.getLong(0), r.getLong(1))
     }
+    val emptyProbe: Map[String, Future[Boolean]] =
+      Seq("data", "custom_reference_groups", "custom_timeseries")
+        .map(n => n -> Future { tables(n).isEmpty }).toMap
+    val (nSubjects, subjectDupExists) = Await.result(subjProbe, Duration.Inf)
+    val (nParameters, nScmBelowTwo) = Await.result(paramProbe, Duration.Inf)
 
     tables.foreach { case (name, df) =>
       val empty = name match {
         case "subjects"   => nSubjects == 0L
         case "parameters" => nParameters == 0L
-        case _            => df.isEmpty
+        case _            => Await.result(emptyProbe(name), Duration.Inf)
       }
       if (empty) {
         if (name == "custom_reference_groups" || name == "custom_timeseries") ()
@@ -132,7 +146,8 @@ object SchemaCheck {
     if (cfg.defaultMinSubjects < 2)
       fail("Minimum value for default_minimum_subjects_per_series is two!")
 
-    if (cfg.autogenerate == "off" && in.customTimeseries.isEmpty)
+    if (cfg.autogenerate == "off" &&
+      Await.result(emptyProbe("custom_timeseries"), Duration.Inf))
       fail("Custom timeseries must be defined if autogenerate_timeseries is set to FALSE!")
 
     // unique subject ids (R/ctas.R:1179-1185) — from the fused subjects
